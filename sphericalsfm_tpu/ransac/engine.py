@@ -31,28 +31,41 @@ class RansacResult(NamedTuple):
     num_inliers: jnp.ndarray  # scalar int
 
 
-def sample_triples(key: jax.Array, mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
-    """Draw `num_samples` index triples (distinct within each triple) from the
-    valid entries of `mask` (N,). Returns (num_samples, 3) int32.
+def sample_tuples(
+    key: jax.Array, mask: jnp.ndarray, num_samples: int, k: int
+) -> jnp.ndarray:
+    """Draw `num_samples` k-tuples of indices (distinct within each tuple)
+    uniformly from the valid entries of `mask` (N,). Returns (num_samples, k).
 
-    Uniform without replacement via the shifted-integer trick, applied on a
-    compacted valid-index ordering — no rejection loops, fixed shapes.
+    Uniform without replacement via the shifted-integer trick applied on a
+    compacted valid-index ordering — no rejection loops, fixed shapes. k is
+    static and small (2-7).
     """
     n = mask.shape[0]
     order = jnp.argsort(~mask, stable=True)  # valid indices first
-    v = jnp.maximum(jnp.sum(mask), 3)
+    v = jnp.maximum(jnp.sum(mask), k)
 
-    k0, k1, k2 = jax.random.split(key, 3)
-    i0 = jax.random.randint(k0, (num_samples,), 0, v)
-    i1 = jax.random.randint(k1, (num_samples,), 0, v - 1)
-    i2 = jax.random.randint(k2, (num_samples,), 0, v - 2)
-    i1 = i1 + (i1 >= i0)
-    a = jnp.minimum(i0, i1)
-    b = jnp.maximum(i0, i1)
-    i2 = i2 + (i2 >= a)
-    i2 = i2 + (i2 >= b)
-    idx = jnp.stack([i0, i1, i2], axis=-1)  # positions into `order`
+    keys = jax.random.split(key, k)
+    chosen = []  # each (num_samples,), positions in [0, v)
+    for j in range(k):
+        i = jax.random.randint(keys[j], (num_samples,), 0, v - j)
+        # Shift past already-chosen positions, in ascending order of their
+        # values. With j ≤ 6 a static insertion-sort of the previous picks
+        # keeps this O(k²) scalar work per sample.
+        prev = chosen
+        if prev:
+            stacked = jnp.stack(prev, axis=-1)  # (num_samples, j)
+            stacked = jnp.sort(stacked, axis=-1)
+            for idx_p in range(len(prev)):
+                i = i + (i >= stacked[:, idx_p])
+        chosen.append(i)
+    idx = jnp.stack(chosen, axis=-1)
     return order[jnp.clip(idx, 0, n - 1)]
+
+
+def sample_triples(key: jax.Array, mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Draw index triples; see `sample_tuples`."""
+    return sample_tuples(key, mask, num_samples, 3)
 
 
 def sample_k(key: jax.Array, mask: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -1,0 +1,147 @@
+"""Bundle adjustment tests: convergence and parameter recovery on synthetic
+spherical captures (SURVEY.md §4: BA convergence on generated scenes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphericalsfm_tpu.geometry import so3_exp
+from sphericalsfm_tpu.optim.ba import BAProblem, bundle_adjust, ba_cost, build_tracks
+
+FOCAL = 500.0
+
+
+def make_scene(seed=0, C=12, P=60, noise=0.0):
+    """Cameras on the unit circle (spherical capture), points in a shell."""
+    rng = np.random.default_rng(seed)
+    phi = np.arange(C) * 2 * np.pi / C * 0.25  # quarter arc
+    cam_r = np.stack([np.zeros(C), phi, np.zeros(C)], -1)
+    cam_t = np.tile(np.array([0.0, 0.0, -1.0]), (C, 1))
+    dirs = rng.normal(size=(P, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = dirs * rng.uniform(5.0, 9.0, size=(P, 1))
+
+    R = np.asarray(so3_exp(jnp.asarray(cam_r)))
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for i in range(C):
+        px = pts @ R[i].T + cam_t[i]
+        vis = (px[:, 2] > 1.0) & (np.abs(px[:, 0] / px[:, 2]) < 1.2) & (
+            np.abs(px[:, 1] / px[:, 2]) < 1.2
+        )
+        for j in np.nonzero(vis)[0]:
+            uv = FOCAL * px[j, :2] / px[j, 2]
+            if noise > 0:
+                uv = uv + rng.normal(size=2) * noise
+            obs_cam.append(i)
+            obs_pt.append(j)
+            obs_uv.append(uv)
+    obs_cam = np.array(obs_cam, np.int32)
+    obs_pt = np.array(obs_pt, np.int32)
+    obs_uv = np.array(obs_uv)
+    # keep only points with >= 3 observations (reference: sfm.cpp:254)
+    cnt = np.bincount(obs_pt, minlength=P)
+    w = (cnt[obs_pt] >= 3).astype(np.float64)
+    return cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w
+
+
+def build_problem(cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w,
+                  focal=FOCAL, spherical=True, fix_first_rot=True,
+                  focal_fixed=True):
+    C, P = cam_r.shape[0], pts.shape[0]
+    track_obs, track_mask = build_tracks(obs_pt, P)
+    track_mask = track_mask & (w[track_obs] > 0)
+    rot_fixed = np.zeros(C, bool)
+    if fix_first_rot:
+        rot_fixed[0] = True
+    trans_fixed = np.full(C, spherical)
+    return BAProblem(
+        focal=jnp.asarray(focal, jnp.float64),
+        cam_t=jnp.asarray(cam_t),
+        cam_r=jnp.asarray(cam_r),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_w=jnp.asarray(w),
+        track_obs=jnp.asarray(track_obs),
+        track_mask=jnp.asarray(track_mask),
+        focal_fixed=jnp.asarray(focal_fixed),
+        rot_fixed=jnp.asarray(rot_fixed),
+        trans_fixed=jnp.asarray(trans_fixed),
+        point_fixed=jnp.zeros(P, bool),
+    )
+
+
+def test_ba_zero_at_ground_truth():
+    scene = make_scene()
+    p = build_problem(*scene)
+    cost = float(ba_cost(p.focal, p.cam_t, p.cam_r, p.points, p))
+    assert cost < 1e-18
+
+
+def test_ba_spherical_recovers_perturbed_rotations():
+    scene = make_scene(seed=1)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(2)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.01
+    cam_r_pert[0] = cam_r[0]  # first camera stays fixed
+    pts_pert = pts + rng.normal(size=pts.shape) * 0.05
+    p = build_problem(cam_r_pert, cam_t, pts_pert, *rest)
+    res = bundle_adjust(p, max_iters=40)
+    assert float(res.cost) < 1e-10 * max(1.0, float(res.initial_cost))
+    np.testing.assert_allclose(np.asarray(res.cam_r), cam_r, atol=1e-6)
+
+
+def test_ba_noise_converges():
+    scene = make_scene(seed=3, noise=0.5)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(4)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.005
+    cam_r_pert[0] = cam_r[0]
+    pts_pert = pts + rng.normal(size=pts.shape) * 0.02
+    p = build_problem(cam_r_pert, cam_t, pts_pert, *rest)
+    res = bundle_adjust(p, max_iters=40)
+    # Residual should settle near the noise floor: ~0.5px per obs coordinate.
+    K = np.count_nonzero(np.asarray(p.obs_w))
+    rms = np.sqrt(2 * float(res.cost) / K / 2)
+    assert rms < 1.0, rms
+
+
+def test_ba_general_mode_converges():
+    """Translations free (general BA stage, run_spherical_sfm.cpp:102-107)."""
+    scene = make_scene(seed=5)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(6)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.005
+    cam_r_pert[0] = cam_r[0]
+    cam_t_pert = cam_t + rng.normal(size=cam_t.shape) * 0.01
+    cam_t_pert[0] = cam_t[0]
+    p = build_problem(cam_r_pert, cam_t_pert, pts, *rest, spherical=False)
+    res = bundle_adjust(p, max_iters=60)
+    assert float(res.cost) < 1e-9 * max(1.0, float(res.initial_cost))
+
+
+def test_ba_focal_recovery():
+    """Focal as a BA parameter (uncalibrated pipeline stage,
+    run_spherical_sfm_uncalib.cpp:178)."""
+    scene = make_scene(seed=7)
+    cam_r, cam_t, pts, *rest = scene
+    p = build_problem(cam_r, cam_t, pts, *rest, focal=FOCAL * 1.1,
+                      focal_fixed=False)
+    res = bundle_adjust(p, max_iters=60)
+    assert abs(float(res.focal) - FOCAL) / FOCAL < 1e-3, float(res.focal)
+
+
+def test_ba_f32_solve_path():
+    """The TPU path: float32 reduced-system solve still converges."""
+    scene = make_scene(seed=8)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(9)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.005
+    cam_r_pert[0] = cam_r[0]
+    p = build_problem(cam_r_pert, cam_t, pts, *rest)
+    res = bundle_adjust(p, max_iters=40, solve_dtype_name="float32")
+    K = np.count_nonzero(np.asarray(p.obs_w))
+    rms = np.sqrt(2 * float(res.cost) / K / 2)
+    assert rms < 0.1, rms

@@ -1,0 +1,396 @@
+"""Rotation averaging and the uncalibrated spherical pose graph.
+
+Capability parity with the reference's
+* rotation_averaging.{h,cpp} (/root/reference/src/rotation_averaging.cpp:15-91):
+  robust pose-graph optimization over per-camera axis-angle rotations with
+  cycle residual log(R₁R₀ᵀ·R_measᵀ) scaled by 1/max‖log R_meas‖, SoftL1(0.03)
+  loss, first camera fixed;
+* uncalibrated_pose_graph.{h,cpp} (…/uncalibrated_pose_graph.cpp:16-203), the
+  ICCV 2025 core: each measured relative rotation is decomposed into an
+  in-plane axis rotation Rxy(θxy) and a roll Rz(θz); a focal multiplier f
+  warps θxy via θ' = atan2(2f·sinθxy, (1+f²)cosθxy + (1−f²)), and rotations
+  and f are optimized jointly (f bound-constrained).
+
+TPU-native design: the graph is an edge list (i, j, r_meas); residual
+Jacobians (two 3×3 blocks per edge + optional focal column) are computed by
+vmapped forward-mode autodiff and scattered into dense block normal equations
+— one fused kernel per LM iteration, no per-edge host work. The 1024-trial
+focal search (spherical_sfm_tools.cpp:1418-1496) becomes a single vmap over
+focal hypotheses with an associative-scan sequential rotation init.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.essential import (
+    conjugate_essential_by_focal,
+    decompose_spherical_essential,
+)
+from ..geometry.so3 import so3_exp, so3_log
+from .lm import soft_l1_rho, soft_l1_weight
+
+SOFT_L1_SCALE = 0.03  # reference: SoftLOneLoss(0.03)
+
+
+class RotationGraph(NamedTuple):
+    """Edge list of relative-rotation measurements i -> j (i < j)."""
+
+    edge_i: jnp.ndarray   # (E,) int32
+    edge_j: jnp.ndarray   # (E,) int32
+    r_meas: jnp.ndarray   # (E, 3) axis-angle of measured R_ij (x_j = R_ij x_i)
+    edge_w: jnp.ndarray   # (E,) weight (0 = padding)
+
+
+def _edge_scale(g: RotationGraph) -> jnp.ndarray:
+    """1 / max ‖log R_meas‖ — the reference's residual normalization
+    (rotation_averaging.cpp:50-55)."""
+    norms = jnp.linalg.norm(g.r_meas, axis=-1)
+    norms = jnp.where(g.edge_w > 0, norms, 0.0)
+    return 1.0 / jnp.maximum(jnp.max(norms), 1e-12)
+
+
+def _cycle_residual(r0, r1, r_meas, scale):
+    """scale · log(R₁ R₀ᵀ R_measᵀ)."""
+    R0 = so3_exp(r0)
+    R1 = so3_exp(r1)
+    Rm = so3_exp(r_meas)
+    return scale * so3_log((R1 @ R0.T) @ Rm.T)
+
+
+def decompose_rotation_xy_z(R: jnp.ndarray):
+    """Split R = Rxy ∘ Rz: axis-in-xy-plane rotation times a roll about z.
+
+    Returns (rx, ry, thetaxy, thetaz) per the reference's decompose_rotation
+    (uncalibrated_pose_graph.cpp:16-31). Batched over leading axes.
+    """
+    Z = R[..., :, 2]
+    Z = Z / jnp.linalg.norm(Z, axis=-1, keepdims=True)
+    e3 = jnp.zeros_like(Z).at[..., 2].set(1.0)
+    axis = jnp.cross(e3, Z)
+    axis_n = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    axis = axis / jnp.where(axis_n > 1e-12, axis_n, 1.0)
+    thetaxy = jnp.arccos(jnp.clip(Z[..., 2], -1.0, 1.0))
+    Rxy = so3_exp(thetaxy[..., None] * axis)
+    Rz = jnp.swapaxes(Rxy, -1, -2) @ R
+    thetaz = so3_log(Rz)[..., 2]
+    return axis[..., 0], axis[..., 1], thetaxy, thetaz
+
+
+def warp_thetaxy(thetaxy, focal_mult):
+    """θ'xy(f): how a spherical in-plane rotation angle transforms when the
+    focal is rescaled by f (uncalibrated_pose_graph.cpp:49-52)."""
+    f2 = focal_mult * focal_mult
+    num = 2.0 * focal_mult * jnp.sin(thetaxy)
+    den = (1.0 + f2) * jnp.cos(thetaxy) + (1.0 - f2)
+    return jnp.arctan2(num, den)
+
+
+def _warped_measurement(rx, ry, thetaxy, thetaz, focal_mult):
+    """R_meas(f) = Rxy(θ'xy(f)) · Rz(θz), batched."""
+    txy = warp_thetaxy(thetaxy, focal_mult)
+    zeros = jnp.zeros_like(rx)
+    rxy = jnp.stack([txy * rx, txy * ry, zeros], axis=-1)
+    rz = jnp.stack([zeros, zeros, thetaz], axis=-1)
+    return so3_exp(rxy) @ so3_exp(rz)
+
+
+def pose_graph_cost(rotations_r: jnp.ndarray, g: RotationGraph) -> jnp.ndarray:
+    """Robust total cost at fixed rotations (reference get_cost,
+    uncalibrated_pose_graph.cpp:116-145): 0.5·Σ ρ_softL1(‖res‖²)."""
+    scale = _edge_scale(g)
+    res = jax.vmap(_cycle_residual, in_axes=(0, 0, 0, None))(
+        rotations_r[g.edge_i], rotations_r[g.edge_j], g.r_meas, scale
+    )
+    s = jnp.sum(res * res, axis=-1)
+    return 0.5 * jnp.sum(jnp.where(g.edge_w > 0, soft_l1_rho(s, SOFT_L1_SCALE), 0.0))
+
+
+def _robust_block_lm(
+    residual_edge,       # (r0, r1, extra, edge_data) -> (3,) residual
+    rotations_r,         # (N, 3) initial
+    extra0,              # scalar extra parameter (focal mult) or None
+    edge_i, edge_j, edge_data, edge_w,
+    fixed_mask,          # (N,) bool — rotations to freeze (gauge)
+    extra_bounds=None,   # (lo, hi) for the extra parameter
+    max_iters: int = 64,
+    ftol: float = 1e-12,
+):
+    """Sparse-block robust LM shared by calibrated/uncalibrated pose graphs.
+
+    Normal equations assembled by scattering per-edge 3×3 blocks into a dense
+    (3N [+1])² system — N is camera count (hundreds), so the dense solve is
+    tiny; the per-edge work is one fused vmap.
+    """
+    N = rotations_r.shape[0]
+    dtype = rotations_r.dtype
+    has_extra = extra0 is not None
+    D = 3 * N + (1 if has_extra else 0)
+
+    def edge_res(r0, r1, extra, data):
+        return residual_edge(r0, r1, extra, data)
+
+    def total_cost(rots, extra):
+        res = jax.vmap(edge_res, in_axes=(0, 0, None, 0))(
+            rots[edge_i], rots[edge_j], extra, edge_data
+        )
+        s = jnp.sum(res * res, axis=-1)
+        return 0.5 * jnp.sum(
+            jnp.where(edge_w > 0, soft_l1_rho(s, SOFT_L1_SCALE), 0.0)
+        )
+
+    free = (~fixed_mask).astype(dtype)
+
+    def build_system(rots, extra):
+        def res_and_jac(i, j, data):
+            def f(packed):
+                r0 = packed[:3]
+                r1 = packed[3:6]
+                ex = packed[6] if has_extra else extra
+                return edge_res(r0, r1, ex, data)
+
+            packed = jnp.concatenate(
+                [rots[i], rots[j]] + ([jnp.atleast_1d(extra)] if has_extra else [])
+            )
+            r = f(packed)
+            J = jax.jacfwd(f)(packed)  # (3, 6[+1])
+            return r, J
+
+        res, J = jax.vmap(res_and_jac)(edge_i, edge_j, edge_data)  # (E,3),(E,3,6+)
+        s = jnp.sum(res * res, axis=-1)
+        w = soft_l1_weight(s, SOFT_L1_SCALE) * (edge_w > 0)
+        J0 = J[:, :, 0:3] * free[edge_i][:, None, None]
+        J1 = J[:, :, 3:6] * free[edge_j][:, None, None]
+
+        H = jnp.zeros((N, N, 3, 3), dtype)
+        gvec = jnp.zeros((N, 3), dtype)
+        wj = w[:, None, None]
+        H = H.at[edge_i, edge_i].add(jnp.einsum("edi,edj->eij", J0 * wj, J0))
+        H = H.at[edge_j, edge_j].add(jnp.einsum("edi,edj->eij", J1 * wj, J1))
+        H = H.at[edge_i, edge_j].add(jnp.einsum("edi,edj->eij", J0 * wj, J1))
+        H = H.at[edge_j, edge_i].add(jnp.einsum("edi,edj->eij", J1 * wj, J0))
+        gvec = gvec.at[edge_i].add(jnp.einsum("edi,ed->ei", J0 * wj, res))
+        gvec = gvec.at[edge_j].add(jnp.einsum("edi,ed->ei", J1 * wj, res))
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
+        gd = gvec.reshape(3 * N)
+        if has_extra:
+            Jf_w = J[:, :, 6]  # focal column (E, 3)
+            Hf0 = jnp.zeros((N, 3), dtype).at[edge_i].add(
+                jnp.einsum("edi,ed->ei", J0 * wj, Jf_w)
+            )
+            Hf1 = jnp.zeros((N, 3), dtype).at[edge_j].add(
+                jnp.einsum("edi,ed->ei", J1 * wj, Jf_w)
+            )
+            Hff = jnp.sum(w * jnp.sum(Jf_w * Jf_w, axis=-1))
+            gf = jnp.sum(w * jnp.sum(Jf_w * res, axis=-1))
+            Hfull = jnp.zeros((D, D), dtype)
+            Hfull = Hfull.at[: 3 * N, : 3 * N].set(Hd)
+            fcol = (Hf0 + Hf1).reshape(-1)
+            Hfull = Hfull.at[: 3 * N, 3 * N].set(fcol)
+            Hfull = Hfull.at[3 * N, : 3 * N].set(fcol)
+            Hfull = Hfull.at[3 * N, 3 * N].set(Hff)
+            gfull = jnp.concatenate([gd, jnp.atleast_1d(gf)])
+            return Hfull, gfull
+        return Hd, gd
+
+    def body(carry):
+        rots, extra, lam, cost, it, done = carry
+        H, gvec = build_system(rots, extra)
+        diag = jnp.maximum(jnp.diagonal(H), 1e-12)
+        A = H + jnp.diag(lam * diag)
+        # gauge: frozen rotations get identity rows via the free-mask zeroing
+        # (their H rows are zero; the damped diagonal keeps A nonsingular).
+        dscale = jnp.sqrt(jnp.maximum(jnp.diagonal(A), 1e-15))
+        A_eq = A / dscale[:, None] / dscale[None, :]
+        L = jnp.linalg.cholesky(A_eq + 1e-12 * jnp.eye(D, dtype=dtype))
+        y = jax.scipy.linalg.solve_triangular(L, -(gvec / dscale), lower=True)
+        dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / dscale
+
+        rots_n = rots + dx[: 3 * N].reshape(N, 3) * free[:, None]
+        if has_extra:
+            extra_n = extra + dx[3 * N]
+            if extra_bounds is not None:
+                extra_n = jnp.clip(extra_n, extra_bounds[0], extra_bounds[1])
+        else:
+            extra_n = extra
+        cost_n = total_cost(rots_n, extra_n)
+        ok = jnp.isfinite(cost_n) & (cost_n < cost)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+        rots = jnp.where(ok, rots_n, rots)
+        extra = jnp.where(ok, extra_n, extra) if has_extra else extra
+        rel = (cost - cost_n) / jnp.maximum(cost, 1e-30)
+        cost = jnp.where(ok, cost_n, cost)
+        done = (ok & (rel < ftol)) | (lam > 1e10)
+        return rots, extra, lam, cost, it + 1, done
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < max_iters) & (~done)
+
+    extra_init = jnp.asarray(extra0, dtype) if has_extra else jnp.zeros((), dtype)
+    c0 = total_cost(rotations_r, extra_init)
+    rots, extra, lam, cost, it, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (rotations_r, extra_init, jnp.asarray(1e-4, dtype), c0,
+         jnp.asarray(0), jnp.asarray(False)),
+    )
+    return rots, extra, cost
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def optimize_rotations(
+    rotations_r: jnp.ndarray, g: RotationGraph, max_iters: int = 64
+):
+    """Robust rotation averaging (reference optimize_rotations,
+    rotation_averaging.cpp:44-91). First camera is the gauge anchor.
+
+    Returns (rotations_r (N, 3), final_cost).
+    """
+    scale = _edge_scale(g)
+
+    def residual(r0, r1, _extra, r_meas):
+        return _cycle_residual(r0, r1, r_meas, scale)
+
+    fixed = jnp.zeros(rotations_r.shape[0], bool).at[0].set(True)
+    rots, _, cost = _robust_block_lm(
+        residual, rotations_r, None, g.edge_i, g.edge_j, g.r_meas, g.edge_w,
+        fixed, max_iters=max_iters,
+    )
+    return rots, cost
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def optimize_rotations_and_focal(
+    rotations_r: jnp.ndarray,
+    g: RotationGraph,
+    focal_mult0: jnp.ndarray,
+    mult_lo: jnp.ndarray,
+    mult_hi: jnp.ndarray,
+    max_iters: int = 64,
+):
+    """Joint rotations + focal-multiplier optimization (reference
+    optimize_rotations_and_focal_length, uncalibrated_pose_graph.cpp:147-203).
+
+    Returns (rotations_r, focal_mult, final_cost). The caller multiplies its
+    focal guess by focal_mult.
+    """
+    scale = _edge_scale(g)
+    rx, ry, txy, tz = decompose_rotation_xy_z(so3_exp(g.r_meas))
+    edge_data = jnp.stack([rx, ry, txy, tz], axis=-1)
+
+    def residual(r0, r1, fmult, data):
+        Rm = _warped_measurement(data[0], data[1], data[2], data[3], fmult)
+        R0 = so3_exp(r0)
+        R1 = so3_exp(r1)
+        return scale * so3_log((R1 @ R0.T) @ Rm.T)
+
+    fixed = jnp.zeros(rotations_r.shape[0], bool).at[0].set(True)
+    rots, fmult, cost = _robust_block_lm(
+        residual, rotations_r, focal_mult0, g.edge_i, g.edge_j, edge_data,
+        g.edge_w, fixed, extra_bounds=(mult_lo, mult_hi), max_iters=max_iters,
+    )
+    return rots, fmult, cost
+
+
+def initialize_rotations_sequential(
+    num_frames: int, g: RotationGraph
+) -> jnp.ndarray:
+    """Chain adjacent relative rotations (reference
+    initialize_rotations_sequential, spherical_sfm_tools.cpp:794-813).
+
+    Uses the edges with j = i+1; missing links default to identity. Prefix
+    rotation products via associative scan: R_global_j = R_{j-1,j}·R_global_{j-1}.
+    """
+    dtype = g.r_meas.dtype
+    # Scatter adjacent-edge rotations into slot j (slot 0 = identity).
+    adj = (g.edge_j == g.edge_i + 1) & (g.edge_w > 0)
+    links = jnp.tile(jnp.eye(3, dtype=dtype), (num_frames, 1, 1))
+    Rm = so3_exp(g.r_meas)
+    target = jnp.where(adj, g.edge_j, num_frames)
+    links = (
+        jnp.concatenate([links, jnp.eye(3, dtype=dtype)[None]], axis=0)
+        .at[target]
+        .set(jnp.where(adj[:, None, None], Rm, jnp.eye(3, dtype=dtype)))[:num_frames]
+    )
+    # Prefix product with composition Rg_j = link_j @ Rg_{j-1}: scan with
+    # combine(a, b) = b @ a applied left-to-right.
+    Rg = jax.lax.associative_scan(lambda a, b: jnp.matmul(b, a), links, axis=0)
+    return so3_log(Rg)
+
+
+def rotations_at_focal(
+    E_mats: jnp.ndarray, focal_ratio, inward: bool = False
+) -> jnp.ndarray:
+    """Re-decompose each pairwise essential matrix under a focal rescale.
+
+    E' = diag(s,s,1)·E·diag(s,s,1), s = f/f₀, then closed-form spherical
+    decomposition → R(f) (reference transform_image_matches,
+    spherical_sfm_tools.cpp:1118-1131). E_mats (E,3,3) -> r (E,3).
+    """
+    Ep = conjugate_essential_by_focal(E_mats, focal_ratio)
+    r, _ = decompose_spherical_essential(Ep, inward=inward)
+    return r
+
+
+@partial(jax.jit, static_argnames=("num_frames", "inward"))
+def loop_constraint_costs(
+    focals: jnp.ndarray,       # (F,) candidate focal lengths
+    focal_guess: jnp.ndarray,  # scalar f₀ the E matrices were estimated at
+    E_mats: jnp.ndarray,       # (E, 3, 3) pairwise essential matrices
+    edge_i: jnp.ndarray,
+    edge_j: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_frames: int,
+    inward: bool = False,
+) -> jnp.ndarray:
+    """Pose-graph cost of each focal hypothesis — the vectorized form of the
+    reference's 1024-trial OpenMP focal search (loop_constraint_cost_fn +
+    find_best_focal_length_random, spherical_sfm_tools.cpp:1142-1159,
+    1418-1496): conjugate E by f/f₀, re-decompose, chain a sequential
+    rotation init, evaluate the robust loop-closure cost. One vmap over F.
+    """
+
+    def cost_of(f):
+        r_f = rotations_at_focal(E_mats, f / focal_guess, inward)
+        g = RotationGraph(edge_i=edge_i, edge_j=edge_j, r_meas=r_f, edge_w=edge_w)
+        rots = initialize_rotations_sequential(num_frames, g)
+        return pose_graph_cost(rots, g)
+
+    return jax.vmap(cost_of)(focals)
+
+
+def find_best_focal_random(
+    key: jax.Array,
+    focal_guess,
+    E_mats: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    edge_j: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_frames: int,
+    min_focal,
+    max_focal,
+    num_trials: int = 1024,
+    inward: bool = False,
+):
+    """Random-search the focal length, then return (best_focal, costs, focals).
+
+    The caller typically follows with `optimize_rotations_and_focal` (the
+    reference's run_optimization, spherical_sfm_tools.cpp:1161-1189).
+    """
+    dtype = E_mats.dtype
+    focals = min_focal + (max_focal - min_focal) * jax.random.uniform(
+        key, (num_trials,), dtype
+    )
+    focals = jnp.concatenate([focals, jnp.atleast_1d(jnp.asarray(focal_guess, dtype))])
+    costs = loop_constraint_costs(
+        focals, jnp.asarray(focal_guess, dtype), E_mats, edge_i, edge_j,
+        edge_w, num_frames, inward,
+    )
+    best = jnp.argmin(jnp.where(jnp.isfinite(costs), costs, jnp.inf))
+    return focals[best], costs, focals

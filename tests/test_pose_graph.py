@@ -1,0 +1,161 @@
+"""Rotation averaging, uncalibrated pose graph and focal search tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sphericalsfm_tpu.geometry import (
+    make_spherical_essential,
+    so3_exp,
+    so3_log,
+    conjugate_essential_by_focal,
+)
+from sphericalsfm_tpu.eval.metrics import rotation_error_deg
+from sphericalsfm_tpu.optim.pose_graph import (
+    RotationGraph,
+    decompose_rotation_xy_z,
+    find_best_focal_random,
+    initialize_rotations_sequential,
+    loop_constraint_costs,
+    optimize_rotations,
+    optimize_rotations_and_focal,
+    pose_graph_cost,
+    warp_thetaxy,
+)
+
+
+def _circle_rotations(n, loop_fraction=1.0):
+    """Ground-truth rotations of a circular spherical capture about y."""
+    phi = np.arange(n) * 2 * np.pi * loop_fraction / n
+    return np.stack([np.zeros(n), phi, np.zeros(n)], -1)
+
+
+def _graph_from_gt(r_gt, noise=0.0, seed=0, extra_edges=()):
+    """Adjacent chain + given extra (loop-closure) edges."""
+    rng = np.random.default_rng(seed)
+    n = r_gt.shape[0]
+    R = np.asarray(so3_exp(jnp.asarray(r_gt)))
+    ei, ej, rm = [], [], []
+    pairs = [(i, i + 1) for i in range(n - 1)] + list(extra_edges)
+    for i, j in pairs:
+        Rij = R[j] @ R[i].T
+        if noise > 0:
+            pert = rng.normal(size=3) * noise
+            Rij = np.asarray(so3_exp(jnp.asarray(pert))) @ Rij
+        ei.append(i)
+        ej.append(j)
+        rm.append(np.asarray(so3_log(jnp.asarray(Rij))))
+    return RotationGraph(
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        r_meas=jnp.asarray(np.stack(rm)),
+        edge_w=jnp.ones(len(ei)),
+    )
+
+
+def test_sequential_init_exact():
+    r_gt = _circle_rotations(12, 0.5)
+    g = _graph_from_gt(r_gt)
+    rots = initialize_rotations_sequential(12, g)
+    errs = np.asarray(rotation_error_deg(so3_exp(rots), so3_exp(jnp.asarray(r_gt))))
+    np.testing.assert_allclose(errs, 0.0, atol=1e-8)
+
+
+def test_pose_graph_cost_zero_at_gt():
+    r_gt = _circle_rotations(10, 0.8)
+    g = _graph_from_gt(r_gt, extra_edges=[(0, 9), (1, 8)])
+    cost = float(pose_graph_cost(jnp.asarray(r_gt), g))
+    assert cost < 1e-16
+
+
+def test_rotation_averaging_denoises_with_loop_closure():
+    n = 16
+    r_gt = _circle_rotations(n, 1.0)
+    g = _graph_from_gt(r_gt, noise=0.01, seed=1,
+                       extra_edges=[(0, n - 1), (0, n - 2), (1, n - 1)])
+    init = initialize_rotations_sequential(n, g)
+    # drift before averaging
+    init_err = np.asarray(
+        rotation_error_deg(so3_exp(init), so3_exp(jnp.asarray(r_gt)))
+    )
+    rots, cost = optimize_rotations(init, g)
+    final_err = np.asarray(
+        rotation_error_deg(so3_exp(rots), so3_exp(jnp.asarray(r_gt)))
+    )
+    assert final_err.max() < init_err.max()
+    # The optimum must fit the noisy measurements at least as well as GT does
+    # (the solution is the MAP estimate, not GT itself).
+    assert float(cost) <= float(pose_graph_cost(jnp.asarray(r_gt), g))
+    assert final_err.max() < 4.0  # estimation error at 0.57°/link noise
+
+
+def test_decompose_rotation_xy_z_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        axis = rng.normal(size=3)
+        axis[2] *= 0.3
+        axis /= np.linalg.norm(axis)
+        r = jnp.asarray(axis * rng.uniform(0.05, 0.8))
+        R = so3_exp(r)
+        rx, ry, txy, tz = decompose_rotation_xy_z(R)
+        Rxy = so3_exp(jnp.asarray([txy * rx, txy * ry, 0.0]))
+        Rz = so3_exp(jnp.asarray([0.0, 0.0, tz]))
+        np.testing.assert_allclose(np.asarray(Rxy @ Rz), np.asarray(R), atol=1e-9)
+
+
+def test_warp_thetaxy_identity_at_f1():
+    t = jnp.linspace(0.01, 1.5, 20)
+    np.testing.assert_allclose(np.asarray(warp_thetaxy(t, 1.0)), np.asarray(t),
+                               atol=1e-12)
+
+
+def _uncalib_setup(n=14, f_true=480.0, f_guess=600.0, seed=3):
+    """Pairwise E estimated at the wrong focal: lift GT E to pixel space at
+    f_true, then normalize by f_guess — exactly the situation of the
+    uncalibrated pipeline."""
+    r_gt = _circle_rotations(n, 1.0)
+    R = np.asarray(so3_exp(jnp.asarray(r_gt)))
+    pairs = [(i, i + 1) for i in range(n - 1)] + [(0, n - 1), (1, n - 1), (0, n - 2)]
+    ei = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    ej = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    E_true = make_spherical_essential(
+        jnp.asarray(np.stack([R[j] @ R[i].T for i, j in pairs]))
+    )
+    # E in normalized coords at f_true; measured rays were pixels/f_guess =
+    # (f_true/f_guess)·x_true in the image plane, so the measured E satisfies
+    # E_meas = diag(s,s,1)·E·diag(s,s,1) with s = f_guess/f_true (then the
+    # hypothesis transform conj(·, f/f_guess) recovers E_true at f = f_true).
+    E_meas = conjugate_essential_by_focal(E_true, f_guess / f_true)
+    E_meas = E_meas / jnp.linalg.norm(E_meas, axis=(-2, -1), keepdims=True)
+    return r_gt, ei, ej, E_meas, f_true, f_guess, n
+
+
+def test_focal_search_finds_true_focal():
+    r_gt, ei, ej, E_meas, f_true, f_guess, n = _uncalib_setup()
+    w = jnp.ones(ei.shape[0])
+    best, costs, focals = find_best_focal_random(
+        jax.random.PRNGKey(0), f_guess, E_meas, ei, ej, w, n,
+        min_focal=f_guess / 4, max_focal=f_guess * 2, num_trials=512,
+    )
+    assert abs(float(best) - f_true) / f_true < 0.05, float(best)
+
+
+def test_joint_focal_rotation_optimization():
+    r_gt, ei, ej, E_meas, f_true, f_guess, n = _uncalib_setup()
+    w = jnp.ones(ei.shape[0])
+    # start from a coarse focal (10% off) like the search output
+    from sphericalsfm_tpu.optim.pose_graph import rotations_at_focal
+
+    f0 = f_true * 1.1
+    r_meas = rotations_at_focal(E_meas, f0 / f_guess)
+    g = RotationGraph(ei, ej, r_meas, w)
+    rots0 = initialize_rotations_sequential(n, g)
+    # Optimizing the *multiplier* on top of f0 requires re-warping the
+    # decomposed measurement; edge data comes from r_meas at f0.
+    rots, fmult, cost = optimize_rotations_and_focal(
+        rots0, g, jnp.asarray(1.0), jnp.asarray(0.25), jnp.asarray(4.0),
+    )
+    f_est = f0 * float(fmult)
+    assert abs(f_est - f_true) / f_true < 0.02, f_est
+    errs = np.asarray(rotation_error_deg(so3_exp(rots), so3_exp(jnp.asarray(r_gt))))
+    assert errs.max() < 1.0, errs.max()

@@ -1,0 +1,126 @@
+"""Pairwise relative-pose estimation over the match graph — batched.
+
+Capability parity with the reference's estimate_pairwise
+(/root/reference/examples/spherical_sfm_tools.cpp:309-431): for each image
+pair with enough matches, lift the matched pixels through K⁻¹, run spherical
+RANSAC (3-pt solver, MSAC with threshold (px·K⁻¹₀₀)², final least squares),
+keep pairs whose inlier count exceeds the minimum, and store per-pair inlier
+matches plus the decomposed relative rotation. Loop-closure count = surviving
+non-adjacent pairs.
+
+TPU design: all pairs process as one vmapped `spherical_ransac` over padded
+(P, Nmax) match tables (SURVEY.md §2.5 P2); chunking keeps peak memory
+bounded. Host code only assembles the padded tables and filters results.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.pose import Intrinsics, pixels_to_rays
+from ..ransac.spherical import spherical_ransac
+
+
+class PairwiseResult(NamedTuple):
+    """Per-pair estimates, aligned with the input pair list."""
+
+    r: np.ndarray             # (P, 3) relative rotation axis-angle
+    E: np.ndarray             # (P, 3, 3)
+    num_inliers: np.ndarray   # (P,)
+    inlier_mask: np.ndarray   # (P, Nmax)
+    keep: np.ndarray          # (P,) passed min-inlier test
+    loop_closure_count: int
+
+
+def pad_match_table(matches_per_pair, max_matches=None):
+    """Host helper: list of (idx0, idx1) integer arrays -> padded tables.
+
+    Returns (idx0 (P, Nmax), idx1 (P, Nmax), mask (P, Nmax)).
+    """
+    P = len(matches_per_pair)
+    lens = [len(m[0]) for m in matches_per_pair]
+    n = max(lens) if max_matches is None else max_matches
+    n = max(n, 8)
+    idx0 = np.zeros((P, n), np.int32)
+    idx1 = np.zeros((P, n), np.int32)
+    mask = np.zeros((P, n), bool)
+    for p, (a, b) in enumerate(matches_per_pair):
+        k = min(len(a), n)
+        idx0[p, :k] = a[:k]
+        idx1[p, :k] = b[:k]
+        mask[p, :k] = True
+    return idx0, idx1, mask
+
+
+def estimate_pairwise(
+    key: jax.Array,
+    points: np.ndarray,        # (F, Kmax, 2) keypoint pixel coords per frame
+    pair_i: np.ndarray,        # (P,) first frame index per pair
+    pair_j: np.ndarray,        # (P,) second frame index per pair
+    idx0: np.ndarray,          # (P, Nmax) matched keypoint index in frame i
+    idx1: np.ndarray,          # (P, Nmax) matched keypoint index in frame j
+    match_mask: np.ndarray,    # (P, Nmax)
+    intrinsics: Intrinsics,
+    inlier_threshold_px: float = 2.0,
+    min_num_inliers: int = 100,
+    inward: bool = False,
+    num_hypotheses: int = 1024,
+    chunk_size: int = 64,
+) -> PairwiseResult:
+    """Estimate spherical relative poses for every candidate pair.
+
+    The squared MSAC threshold is (px_thresh·K⁻¹₀₀)² like the reference
+    (spherical_sfm_tools.cpp:315).
+    """
+    P, Nmax = idx0.shape
+    focal = float(np.asarray(intrinsics.focal))
+    sq_thresh = (inlier_threshold_px / focal) ** 2
+
+    pts = jnp.asarray(points)
+    uv0 = pts[pair_i[:, None], idx0]  # (P, Nmax, 2)
+    uv1 = pts[pair_j[:, None], idx1]
+    u = pixels_to_rays(uv0, intrinsics)
+    v = pixels_to_rays(uv1, intrinsics)
+    mask = jnp.asarray(match_mask)
+
+    run = jax.vmap(
+        lambda k, uu, vv, mm: spherical_ransac(
+            k, uu, vv, mm,
+            sq_thresh=jnp.asarray(sq_thresh),
+            num_hypotheses=num_hypotheses,
+            inward=inward,
+        )
+    )
+
+    keys = jax.random.split(key, P)
+    rs, Es, ninl, inl = [], [], [], []
+    for s in range(0, P, chunk_size):
+        e = min(s + chunk_size, P)
+        res = run(keys[s:e], u[s:e], v[s:e], mask[s:e])
+        rs.append(np.asarray(res.r))
+        Es.append(np.asarray(res.E))
+        ninl.append(np.asarray(res.num_inliers))
+        inl.append(np.asarray(res.inlier_mask))
+    r = np.concatenate(rs)
+    E = np.concatenate(Es)
+    num_inliers = np.concatenate(ninl)
+    inlier_mask = np.concatenate(inl)
+
+    enough_matches = match_mask.sum(axis=1) >= min_num_inliers
+    keep = (num_inliers > min_num_inliers) & enough_matches
+    loops = int(np.sum(keep & (pair_i + 1 != pair_j)))
+    return PairwiseResult(
+        r=r, E=E, num_inliers=num_inliers, inlier_mask=inlier_mask,
+        keep=keep, loop_closure_count=loops,
+    )
+
+
+def all_pairs(num_frames: int):
+    """All ordered pairs (i < j), like the reference's exhaustive sweep."""
+    pi, pj = np.triu_indices(num_frames, k=1)
+    return pi.astype(np.int32), pj.astype(np.int32)

@@ -1,0 +1,312 @@
+"""The SfM map: host-side reconstruction state + device compute kernels.
+
+Capability parity with the reference's SfM class
+(/root/reference/include/sphericalsfm/sfm.h:18-106, src/sfm.cpp): mutable
+cameras/points/observations with per-parameter freeze flags, RANSAC
+retriangulation, robust bundle adjustment, observation filtering, similarity
+transforms, normalization, and COLMAP/OBJ/poses writers.
+
+Design split (SURVEY.md §7.8): the mutable std::map-backed containers of the
+reference become numpy tables on the host, rebuilt between rounds; every
+compute-heavy method (Retriangulate, Optimize) lowers to one fixed-shape
+batched device call (vmapped triangulation RANSAC, Schur-complement LM BA).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.pose import Intrinsics
+from ..geometry.so3 import so3_exp, so3_log
+from ..optim.ba import BAProblem, bundle_adjust, build_tracks
+from ..ransac.triangulation import triangulation_ransac
+from .tracks import Tracks
+
+
+def _rotmat(r):
+    return np.asarray(so3_exp(jnp.asarray(r)))
+
+
+@dataclass
+class SfMMap:
+    intrinsics: Intrinsics
+    inward: bool = False
+
+    cam_t: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    cam_r: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    paths: list = field(default_factory=list)
+    rotation_fixed: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    translation_fixed: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    focal_fixed: bool = True
+
+    points: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    point_fixed: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+    colors: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.uint8))
+
+    obs_cam: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    obs_pt: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    obs_uv: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
+    obs_valid: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+
+    # --- construction -----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        intrinsics: Intrinsics,
+        rotations_r: np.ndarray,          # (C, 3) global rotations
+        tracks: Tracks,
+        keypoints: np.ndarray,            # (C, Kmax, 2) pixel coords
+        colors: np.ndarray | None = None,  # (C, Kmax, 3) sampled colors
+        spherical: bool = True,
+        inward: bool = False,
+        fix_camera: int = 0,
+        paths: list | None = None,
+    ) -> "SfMMap":
+        """The reference's build_sfm (spherical_sfm_tools.cpp:862-954):
+        cameras at t=(0,0,∓1) with the given rotations (translation frozen in
+        spherical mode, rotation frozen only for `fix_camera`), observations
+        centered at the principal point."""
+        C = rotations_r.shape[0]
+        tz = 1.0 if inward else -1.0
+        m = cls(intrinsics=intrinsics, inward=inward)
+        m.cam_r = np.asarray(rotations_r, float).copy()
+        m.cam_t = np.tile(np.array([0.0, 0.0, tz]), (C, 1))
+        m.paths = list(paths) if paths is not None else [f"{i:06d}.png" for i in range(C)]
+        m.rotation_fixed = np.zeros(C, bool)
+        m.rotation_fixed[fix_camera] = True
+        m.translation_fixed = np.full(C, bool(spherical))
+
+        P = tracks.num_points
+        m.points = np.zeros((P, 3))
+        m.point_fixed = np.zeros(P, bool)
+        cx = float(np.asarray(intrinsics.cx))
+        cy = float(np.asarray(intrinsics.cy))
+        uv = np.asarray(keypoints)[tracks.obs_cam, tracks.obs_feat] - np.array([cx, cy])
+        m.obs_cam = tracks.obs_cam.copy()
+        m.obs_pt = tracks.obs_pt.copy()
+        m.obs_uv = uv
+        m.obs_valid = np.ones(len(uv), bool)
+        if colors is not None:
+            m.colors = np.zeros((P, 3), np.uint8)
+            m.colors[tracks.obs_pt] = np.asarray(colors)[tracks.obs_cam, tracks.obs_feat]
+        else:
+            m.colors = np.zeros((P, 3), np.uint8)
+        return m
+
+    # --- bookkeeping ------------------------------------------------------
+
+    @property
+    def num_cameras(self) -> int:
+        return self.cam_r.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    def point_valid(self) -> np.ndarray:
+        return np.linalg.norm(self.points, axis=-1) > 0
+
+    def centers(self) -> np.ndarray:
+        R = _rotmat(self.cam_r)
+        return -np.einsum("cji,cj->ci", R, self.cam_t)
+
+    def _track_tables(self, max_track: int | None = None):
+        K = len(self.obs_cam)
+        w = self.obs_valid.astype(float)
+        track_obs, track_mask = build_tracks(self.obs_pt, self.num_points, max_track)
+        track_mask = track_mask & (w[track_obs] > 0)
+        return track_obs, track_mask
+
+    # --- compute stages ---------------------------------------------------
+
+    def retriangulate(self, key=None, sq_thresh: float = 4.0,
+                      num_hypotheses: int = 32, chunk: int = 4096):
+        """RANSAC-retriangulate every track (reference Retriangulate,
+        sfm.cpp:156-192): tracks with <3 valid observations zero out;
+        successes need ≥3 inliers at 2px (4 px²)."""
+        if self.num_points == 0:
+            return
+        key = jax.random.PRNGKey(0) if key is None else key
+        track_obs, track_mask = self._track_tables()
+        rs = jnp.asarray(self.cam_r)[self.obs_cam][track_obs]
+        ts = jnp.asarray(self.cam_t)[self.obs_cam][track_obs]
+        uv = jnp.asarray(self.obs_uv)[track_obs]
+        mask = jnp.asarray(track_mask)
+        focal = jnp.asarray(float(np.asarray(self.intrinsics.focal)))
+
+        run = jax.vmap(
+            lambda k, a, b, c, d: triangulation_ransac(
+                k, a, b, c, d, focal, sq_thresh=sq_thresh,
+                num_hypotheses=num_hypotheses,
+            )
+        )
+        P = self.num_points
+        keys = jax.random.split(key, P)
+        Xs, oks = [], []
+        for s in range(0, P, chunk):
+            e = min(s + chunk, P)
+            res = run(keys[s:e], rs[s:e], ts[s:e], uv[s:e], mask[s:e])
+            Xs.append(np.asarray(res.X))
+            oks.append(np.asarray(res.ok))
+        X = np.concatenate(Xs)
+        ok = np.concatenate(oks)
+        self.points = np.where(ok[:, None], X, 0.0)
+
+    def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",
+                 loss_scale: float = 1.0) -> dict:
+        """Robust BA (reference Optimize, sfm.cpp:228-290): points with <3
+        observations or at the origin are excluded; Cauchy(1.0) loss."""
+        if self.num_cameras == 0 or self.num_points == 0:
+            return {}
+        pv = self.point_valid()
+        nobs = np.bincount(
+            self.obs_pt, weights=self.obs_valid.astype(float),
+            minlength=self.num_points,
+        )
+        usable_pt = pv & (nobs >= 3)
+        w = (self.obs_valid & usable_pt[self.obs_pt]).astype(float)
+        if w.sum() == 0:
+            return {}
+        track_obs, track_mask = build_tracks(self.obs_pt, self.num_points)
+        track_mask = track_mask & (w[track_obs] > 0)
+
+        prob = BAProblem(
+            focal=jnp.asarray(float(np.asarray(self.intrinsics.focal))),
+            cam_t=jnp.asarray(self.cam_t),
+            cam_r=jnp.asarray(self.cam_r),
+            points=jnp.asarray(self.points),
+            obs_cam=jnp.asarray(self.obs_cam),
+            obs_pt=jnp.asarray(self.obs_pt),
+            obs_uv=jnp.asarray(self.obs_uv),
+            obs_w=jnp.asarray(w),
+            track_obs=jnp.asarray(track_obs),
+            track_mask=jnp.asarray(track_mask),
+            focal_fixed=jnp.asarray(self.focal_fixed),
+            rot_fixed=jnp.asarray(self.rotation_fixed),
+            trans_fixed=jnp.asarray(self.translation_fixed),
+            point_fixed=jnp.asarray(self.point_fixed | ~usable_pt),
+        )
+        res = bundle_adjust(prob, max_iters=max_iters,
+                            loss_scale=loss_scale,
+                            solve_dtype_name=solve_dtype)
+        self.cam_t = np.asarray(res.cam_t)
+        self.cam_r = np.asarray(res.cam_r)
+        upd = np.asarray(res.points)
+        self.points = np.where(usable_pt[:, None], upd, self.points)
+        self.intrinsics = Intrinsics(
+            jnp.asarray(float(res.focal)), self.intrinsics.cx, self.intrinsics.cy
+        )
+        return {
+            "initial_cost": float(res.initial_cost),
+            "final_cost": float(res.cost),
+            "iterations": int(res.iterations),
+            "focal": float(res.focal),
+        }
+
+    def reprojection_errors(self) -> np.ndarray:
+        """Per-observation reprojection error in pixels."""
+        R = _rotmat(self.cam_r)
+        PX = (
+            np.einsum("kij,kj->ki", R[self.obs_cam], self.points[self.obs_pt])
+            + self.cam_t[self.obs_cam]
+        )
+        z = np.where(np.abs(PX[:, 2]) > 1e-12, PX[:, 2], 1e-12)
+        f = float(np.asarray(self.intrinsics.focal))
+        proj = f * PX[:, :2] / z[:, None]
+        return np.linalg.norm(proj - self.obs_uv, axis=-1)
+
+    def filter_observations(self, thresh_px: float) -> int:
+        """Invalidate observations above the reprojection threshold
+        (reference FilterObservations, sfm.cpp:297-339); points left with no
+        valid observation zero out."""
+        pv = self.point_valid()
+        nobs = np.bincount(self.obs_pt, weights=self.obs_valid.astype(float),
+                           minlength=self.num_points)
+        eligible = pv & (nobs >= 3)
+        err = self.reprojection_errors()
+        bad = self.obs_valid & eligible[self.obs_pt] & (err > thresh_px)
+        self.obs_valid &= ~bad
+        left = np.bincount(self.obs_pt, weights=self.obs_valid.astype(float),
+                           minlength=self.num_points)
+        self.points[left == 0] = 0.0
+        return int(bad.sum())
+
+    # --- similarity transforms -------------------------------------------
+
+    def apply_pose(self, R: np.ndarray, t: np.ndarray):
+        """X → R X + t on the world (reference Apply(Pose), sfm.cpp:341-362):
+        cameras post-multiply by the inverse."""
+        # camera: x = Rc X + tc. After world map X' = R X + t (X = Rᵀ(X'−t)):
+        # x = Rc Rᵀ X' + (tc − Rc Rᵀ t).
+        Rc = _rotmat(self.cam_r)
+        Rn = Rc @ R.T
+        tn = self.cam_t - np.einsum("cij,j->ci", Rn, t)
+        self.cam_r = np.asarray(so3_log(jnp.asarray(Rn)))
+        self.cam_t = tn
+        valid = self.point_valid()
+        self.points = np.where(
+            valid[:, None], self.points @ R.T + t, self.points
+        )
+
+    def apply_scale(self, s: float):
+        self.cam_t = self.cam_t * s
+        valid = self.point_valid()
+        self.points = np.where(valid[:, None], self.points * s, self.points)
+
+    def normalize(self):
+        """Center camera centroid, unit mean radius, flip if inverted
+        (reference Normalize, sfm.cpp:535-571; flip keyed to camera 0's t_z)."""
+        c = self.centers()
+        centroid = c.mean(axis=0)
+        self.apply_pose(np.eye(3), -centroid)
+        scale = np.linalg.norm(self.centers(), axis=-1).mean()
+        self.apply_scale(1.0 / max(scale, 1e-12))
+        tz = self.cam_t[0, 2]
+        if (self.inward and tz < 0) or ((not self.inward) and tz > 0):
+            self.apply_scale(-1.0)
+
+    # --- writers ----------------------------------------------------------
+
+    def write_poses(self, path: str, indices=None):
+        """poses.txt: index + 6 camera params (t then r), 15 decimals
+        (reference WritePoses, sfm.cpp:463-480)."""
+        idx = indices if indices is not None else list(range(self.num_cameras))
+        with open(path, "w") as f:
+            for i in range(self.num_cameras):
+                vals = list(self.cam_t[i]) + list(self.cam_r[i])
+                f.write(f"{idx[i]} " + " ".join(f"{v:.15f}" for v in vals) + " \n")
+
+    def write_points_obj(self, path: str, max_distance: float = 2000.0):
+        """OBJ point cloud, dropping far points (reference WritePointsOBJ,
+        sfm.cpp:482-519)."""
+        c = self.centers()
+        valid = self.point_valid()
+        with open(path, "w") as f:
+            for j in np.nonzero(valid)[0]:
+                obs = self.obs_valid & (self.obs_pt == j)
+                if obs.any():
+                    cam = self.obs_cam[obs][-1]
+                    if np.linalg.norm(self.points[j] - c[cam]) > max_distance:
+                        continue
+                X = self.points[j]
+                f.write(f"v {X[0]:.15f} {X[1]:.15f} {X[2]:.15f}\n")
+
+    def write_camera_centers_obj(self, path: str):
+        with open(path, "w") as f:
+            for ctr in self.centers():
+                f.write(f"v {ctr[0]:.15f} {ctr[1]:.15f} {ctr[2]:.15f}\n")
+
+    def write_colmap(self, sparse_dir: str, width: int, height: int):
+        """COLMAP text model (cameras/images/points3D.txt) with SIMPLE_PINHOLE
+        and principal-point re-centering (reference WriteCOLMAP,
+        sfm.cpp:573-647)."""
+        from ..io.colmap import write_colmap_text
+
+        write_colmap_text(self, sparse_dir, width, height)

@@ -1,0 +1,351 @@
+"""TPU-native DoG/SIFT-style feature detection and description.
+
+Capability parity with the reference's DetectorTracker (cv::SIFT with 20000
+candidate cap + adaptive non-maximal suppression to 4000 keypoints,
+/root/reference/examples/spherical_sfm_tools.cpp:56-233). The reference runs
+OpenCV SIFT per frame under OpenMP; here the whole detector is a fixed-shape
+jittable JAX program — Gaussian pyramids as separable depthwise convolutions
+(MXU/VPU work), 3×3×3 DoG extrema as elementwise comparisons, grid-bucketed
+non-maximal suppression, orientation histograms and 4×4×8 SIFT descriptors
+from rotated bilinear patch gathers — so a *batch of frames* is one XLA
+program (the batched equivalent of SURVEY.md §2.5 P1).
+
+Exact OpenCV-SIFT output parity is not a goal (different implementations of
+SIFT disagree keypoint-by-keypoint anyway); repeatability and matchability
+against itself is what the pipeline needs, and the e2e tests assert that.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# SIFT-standard constants
+_NUM_SCALES = 3              # intervals per octave
+_SIGMA0 = 1.6
+_CONTRAST_THRESH = 0.015
+_EDGE_RATIO = 10.0
+_DESC_PATCH = 16             # descriptor support (pixels at detection scale)
+_ORI_BINS = 36
+
+
+class Features(NamedTuple):
+    xy: jnp.ndarray          # (K, 2) pixel coordinates (x, y)
+    scale: jnp.ndarray       # (K,) sigma in original-image pixels
+    angle: jnp.ndarray       # (K,) orientation (radians)
+    response: jnp.ndarray    # (K,)
+    descriptor: jnp.ndarray  # (K, 128) L2-normalized
+    valid: jnp.ndarray       # (K,) bool
+
+
+def _gauss_kernel1d(sigma: float, radius: int, dtype) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (H, W) via two 1-D convolutions."""
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = _gauss_kernel1d(sigma, radius, img.dtype)
+    img4 = img[None, None]  # NCHW
+    kh = k[None, None, :, None]
+    kw = k[None, None, None, :]
+    out = jax.lax.conv_general_dilated(
+        img4, kh, (1, 1), [(radius, radius), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kw, (1, 1), [(0, 0), (radius, radius)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    return img[::2, ::2]
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of (H, W) at float coords; out-of-bounds clamp."""
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _dog_extrema(dogs: jnp.ndarray, contrast_thresh: float):
+    """3×3×3 extrema of a DoG stack (S, H, W) -> response map (S−2, H, W).
+
+    Returns |DoG| where the center is a strict local max/min above threshold
+    and passes the edge test, else 0.
+    """
+    S, H, W = dogs.shape
+    center = dogs[1:-1]
+
+    def shifts(a):
+        outs = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                outs.append(jnp.roll(jnp.roll(a, dy, axis=-2), dx, axis=-1))
+        return outs
+
+    neighbors = []
+    for ds in (-1, 0, 1):
+        layer = dogs[1 + ds : S - 1 + ds]
+        ns = shifts(layer)
+        if ds == 0:
+            ns = ns[:4] + ns[5:]  # exclude the center itself
+        neighbors.extend(ns)
+    stack = jnp.stack(neighbors)  # (26, S-2, H, W)
+    is_max = jnp.all(center > stack, axis=0)
+    is_min = jnp.all(center < stack, axis=0)
+    strong = jnp.abs(center) > contrast_thresh
+
+    # Edge rejection via the 2×2 spatial Hessian trace²/det ratio.
+    dxx = jnp.roll(center, -1, -1) + jnp.roll(center, 1, -1) - 2 * center
+    dyy = jnp.roll(center, -1, -2) + jnp.roll(center, 1, -2) - 2 * center
+    dxy = 0.25 * (
+        jnp.roll(jnp.roll(center, -1, -2), -1, -1)
+        + jnp.roll(jnp.roll(center, 1, -2), 1, -1)
+        - jnp.roll(jnp.roll(center, -1, -2), 1, -1)
+        - jnp.roll(jnp.roll(center, 1, -2), -1, -1)
+    )
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = _EDGE_RATIO
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+    ok = (is_max | is_min) & strong & edge_ok
+    # Kill the 1-pixel border (roll wraps around).
+    ok = ok.at[:, :1, :].set(False).at[:, -1:, :].set(False)
+    ok = ok.at[:, :, :1].set(False).at[:, :, -1:].set(False)
+    return jnp.where(ok, jnp.abs(center), 0.0)
+
+
+def _grid_nms(resp_flat, xy, cell: float, width: float, per_cell: int, k: int):
+    """Greedy-free spatial suppression: keep the `per_cell` strongest
+    keypoints per grid cell, then the global top-k.
+
+    The reference's adaptiveNonMaximalSuppresion (spherical_sfm_tools.cpp:
+    76-123) sorts by suppression radius; bucketed NMS is its fixed-shape
+    TPU analogue with the same intent (spatially even coverage cap).
+    """
+    ncols = int(math.ceil(width / cell)) + 1
+    n = resp_flat.shape[0]
+    cells = (
+        jnp.floor(xy[:, 1] / cell).astype(jnp.int64) * ncols
+        + jnp.floor(xy[:, 0] / cell).astype(jnp.int64)
+    )
+    # Sort by (cell, −response): within a cell, strongest first. Then the
+    # rank within the cell is position − first-position-of-cell, found with
+    # a searchsorted on the sorted cell ids — O(N log N), no dense histogram.
+    resp_order = jnp.argsort(-resp_flat)
+    resp_rank = jnp.zeros((n,), jnp.int64).at[resp_order].set(jnp.arange(n))
+    key_sort = cells * n + resp_rank
+    order = jnp.argsort(key_sort)
+    cells_sorted = cells[order]
+    first_idx = jnp.searchsorted(cells_sorted, cells_sorted, side="left")
+    rank_in_cell = jnp.arange(n) - first_idx
+    keep_sorted = (rank_in_cell < per_cell) & (resp_flat[order] > 0)
+    scored = jnp.where(keep_sorted, resp_flat[order], -1.0)
+    topk = jnp.argsort(-scored)[:k]
+    final = order[topk]
+    return final, scored[topk] > 0
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "num_octaves"))
+def detect_and_describe(
+    image: jnp.ndarray,
+    max_keypoints: int = 1024,
+    num_octaves: int = 4,
+) -> Features:
+    """Detect DoG keypoints and compute SIFT descriptors of one (H, W) image
+    in [0, 1]. Returns fixed-shape Features (K = max_keypoints). vmap over a
+    frame axis to process a whole capture at once.
+    """
+    img = image.astype(jnp.float32)
+    H, W = img.shape
+    base = _blur(img, _SIGMA0)
+
+    k_geom = 2.0 ** (1.0 / _NUM_SCALES)
+    all_xy, all_resp, all_scale, all_oct, all_layer = [], [], [], [], []
+
+    octave_images = []
+    oct_img = base
+    for o in range(num_octaves):
+        sigmas = [(_SIGMA0 * (k_geom**s)) for s in range(_NUM_SCALES + 3)]
+        gauss = [oct_img]
+        for s in range(1, _NUM_SCALES + 3):
+            inc = math.sqrt(max(sigmas[s] ** 2 - sigmas[s - 1] ** 2, 0.01))
+            gauss.append(_blur(gauss[-1], inc))
+        gstack = jnp.stack(gauss)  # (S+3, h, w)
+        octave_images.append(gstack)
+        dogs = gstack[1:] - gstack[:-1]  # (S+2, h, w)
+        resp = _dog_extrema(dogs, _CONTRAST_THRESH)  # (S, h, w)
+
+        s_, h_, w_ = resp.shape
+        yy, xx = jnp.meshgrid(
+            jnp.arange(h_, dtype=jnp.float32),
+            jnp.arange(w_, dtype=jnp.float32),
+            indexing="ij",
+        )
+        scale_of_layer = jnp.asarray(
+            [_SIGMA0 * (k_geom ** (s + 1)) * (2.0**o) for s in range(s_)],
+            jnp.float32,
+        )
+        all_xy.append(
+            jnp.stack(
+                [
+                    jnp.broadcast_to(xx, resp.shape).reshape(-1) * (2.0**o),
+                    jnp.broadcast_to(yy, resp.shape).reshape(-1) * (2.0**o),
+                ],
+                axis=-1,
+            )
+        )
+        all_resp.append(resp.reshape(-1))
+        all_scale.append(
+            jnp.broadcast_to(scale_of_layer[:, None, None], resp.shape).reshape(-1)
+        )
+        all_oct.append(jnp.full((s_ * h_ * w_,), o, jnp.int32))
+        all_layer.append(
+            jnp.broadcast_to(
+                jnp.arange(s_, dtype=jnp.int32)[:, None, None], resp.shape
+            ).reshape(-1)
+        )
+        oct_img = _downsample2(gstack[_NUM_SCALES])
+
+    xy = jnp.concatenate(all_xy)
+    resp = jnp.concatenate(all_resp)
+    scale = jnp.concatenate(all_scale)
+    octv = jnp.concatenate(all_oct)
+    layer = jnp.concatenate(all_layer)
+
+    sel, valid = _grid_nms(resp, xy, cell=max(8.0, W / 64.0), width=float(W),
+                           per_cell=8, k=max_keypoints)
+    xy = xy[sel]
+    resp_k = resp[sel]
+    scale_k = scale[sel]
+    octv_k = octv[sel]
+    layer_k = layer[sel]
+
+    # --- orientation + descriptor from the matching octave image -----------
+    def per_octave_gradients(o):
+        g = octave_images[o]  # (S+3, h, w)
+        gx = 0.5 * (jnp.roll(g, -1, -1) - jnp.roll(g, 1, -1))
+        gy = 0.5 * (jnp.roll(g, -1, -2) - jnp.roll(g, 1, -2))
+        return gx, gy
+
+    grads = [per_octave_gradients(o) for o in range(num_octaves)]
+
+    def keypoint_frame(i):
+        """Orientation and descriptor of one keypoint (vmapped)."""
+        o = octv_k[i]
+        lay = layer_k[i]
+        x = xy[i, 0]
+        y = xy[i, 1]
+        sig = scale_k[i]
+
+        def for_octave(oo):
+            gx_all, gy_all = grads[oo]
+            gx = gx_all[lay + 1]
+            gy = gy_all[lay + 1]
+            inv = 1.0 / (2.0**oo)
+            xo = x * inv
+            yo = y * inv
+            sig_o = sig * inv
+
+            # Orientation: 36-bin histogram of gradients in a Gaussian window.
+            R = 8  # window radius in scale units of the octave image
+            dy, dx = jnp.meshgrid(
+                jnp.arange(-R, R + 1, dtype=jnp.float32),
+                jnp.arange(-R, R + 1, dtype=jnp.float32),
+                indexing="ij",
+            )
+            px = xo + dx * sig_o / 1.5
+            py = yo + dy * sig_o / 1.5
+            gxs = _bilinear(gx, px, py)
+            gys = _bilinear(gy, px, py)
+            mag = jnp.hypot(gxs, gys)
+            ang = jnp.arctan2(gys, gxs)
+            wgt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * (0.5 * R) ** 2))
+            bins = jnp.floor(
+                (ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS
+            ).astype(jnp.int32) % _ORI_BINS
+            hist = jnp.zeros((_ORI_BINS,), jnp.float32).at[bins.reshape(-1)].add(
+                (mag * wgt).reshape(-1)
+            )
+            # smooth the histogram circularly
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+            theta = (
+                (jnp.argmax(hist).astype(jnp.float32) + 0.5) / _ORI_BINS
+            ) * 2 * jnp.pi - jnp.pi
+
+            # Descriptor: 16×16 samples in the rotated frame → 4×4×8.
+            n = _DESC_PATCH
+            dyp, dxp = jnp.meshgrid(
+                (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
+                (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
+                indexing="ij",
+            )
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            sx = xo + (ct * dxp - st * dyp) * sig_o * 0.4
+            sy = yo + (st * dxp + ct * dyp) * sig_o * 0.4
+            gxs2 = _bilinear(gx, sx, sy)
+            gys2 = _bilinear(gy, sx, sy)
+            mag2 = jnp.hypot(gxs2, gys2)
+            ang2 = jnp.arctan2(gys2, gxs2) - theta
+            wgt2 = jnp.exp(-(dxp * dxp + dyp * dyp) / (2.0 * (n / 2) ** 2))
+            cell_y = jnp.clip((dyp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
+            cell_x = jnp.clip((dxp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
+            obin = jnp.floor(
+                ((ang2 + 3 * jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * 8
+            ).astype(jnp.int32) % 8
+            flat_bin = (cell_y * 4 + cell_x) * 8 + obin
+            desc = jnp.zeros((128,), jnp.float32).at[flat_bin.reshape(-1)].add(
+                (mag2 * wgt2).reshape(-1)
+            )
+            return theta, desc
+
+        branches = [partial(for_octave, oo) for oo in range(num_octaves)]
+        theta, desc = jax.lax.switch(jnp.clip(o, 0, num_octaves - 1), branches)
+        return theta, desc
+
+    thetas, descs = jax.vmap(keypoint_frame)(jnp.arange(max_keypoints))
+
+    # SIFT normalization: L2 → clip 0.2 → L2.
+    def _norm(d):
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        d = jnp.minimum(d, 0.2)
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+    descs = _norm(descs)
+    return Features(
+        xy=xy, scale=scale_k, angle=thetas, response=resp_k,
+        descriptor=jnp.where(valid[:, None], descs, 0.0), valid=valid,
+    )
+
+
+def detect_batch(images: jnp.ndarray, max_keypoints: int = 1024,
+                 num_octaves: int = 4) -> Features:
+    """vmapped detection over a frame axis (F, H, W) -> batched Features."""
+    return jax.vmap(
+        lambda im: detect_and_describe(im, max_keypoints, num_octaves)
+    )(images)

@@ -21,10 +21,16 @@ Design reference (capabilities only, re-designed TPU-first):
 /root/reference (jonathanventura/spherical-sfm @ 2025-11-14).
 """
 
+import os as _os
+
 import jax as _jax
 
-# Geometry kernels (minimal solvers, normal equations) need float64 available.
-# Image-space work explicitly requests float32/bfloat16 where appropriate.
-_jax.config.update("jax_enable_x64", True)
+# Geometry kernels (minimal solvers, normal equations) want float64 on hosts
+# that have it (CPU parity testing, offline pipelines). On TPU the native
+# dtype is float32 (f64 linalg is unsupported and int64 upsets the backend),
+# so TPU entrypoints (bench.py, __graft_entry__.py) disable x64 by setting
+# SPHERICALSFM_TPU_X64=0 before importing the package.
+if _os.environ.get("SPHERICALSFM_TPU_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as _np
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.essential import essential_from_params
@@ -85,6 +86,9 @@ def epipolar_constraint_rows(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _nullspace3(A: jnp.ndarray) -> jnp.ndarray:
     """3-dim (approximate) nullspace of (..., N, 6) via eigh of AᵀA -> (..., 6, 3).
 
@@ -93,10 +97,23 @@ def _nullspace3(A: jnp.ndarray) -> jnp.ndarray:
     non-minimal (N > 5) samples the solution concentrates on the smallest
     singular direction — putting it in the constant column keeps the solution
     near (x, y) = (0, 0) instead of at infinity.
+
+    All contractions use Precision.HIGHEST: on TPU the MXU default would
+    compute these in reduced precision, which is fatal for the elimination.
     """
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision=_HI)
     _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     return V[..., :, :3][..., :, ::-1]
+
+
+def _spd_solve(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky solve of an SPD system (TPU supports Cholesky in f32/f64;
+    LU-based jnp.linalg.solve does not exist for f64 on TPU)."""
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
 
 
 def _constraints(p: jnp.ndarray) -> jnp.ndarray:
@@ -123,38 +140,54 @@ def solve_spherical_3pt(u: jnp.ndarray, v: jnp.ndarray):
     valid (..., 4) boolean mask of finite/real candidates.
     """
     dtype = u.dtype
+    with jax.default_matmul_precision("highest"):
+        return _solve_spherical_3pt_impl(u, v, dtype)
+
+
+def _solve_spherical_3pt_impl(u, v, dtype):
     A = epipolar_constraint_rows(u, v)  # (..., N, 6)
     B = _nullspace3(A)  # (..., 6, 3)
 
     # Evaluate constraints at the interpolation nodes: p_i = B @ [x_i, y_i, 1].
     nodes = jnp.asarray(_NODES, dtype=dtype)  # (10, 2)
     xyz = jnp.concatenate([nodes, jnp.ones((10, 1), dtype=dtype)], axis=-1)  # (10,3)
-    p_nodes = jnp.einsum("...ij,nj->...ni", B, xyz)  # (..., 10, 6)
+    p_nodes = jnp.einsum("...ij,nj->...ni", B, xyz, precision=_HI)  # (..., 10, 6)
     g = _constraints(p_nodes)  # (..., 10 nodes, 10 eqs)
     g = jnp.swapaxes(g, -1, -2)  # (..., 10 eqs, 10 nodes)
-    C = g @ jnp.asarray(_VAND_INV_T, dtype=dtype)  # (..., 10 eqs, 10 monomials)
+    C = jnp.einsum(
+        "...en,nm->...em", g, jnp.asarray(_VAND_INV_T, dtype=dtype), precision=_HI
+    )  # (..., 10 eqs, 10 monomials)
 
     # Least-squares elimination: x-monomials in terms of y-monomials.
     C1 = C[..., :, :6]
     C2 = C[..., :, 6:]
-    C1tC1 = jnp.einsum("...ki,...kj->...ij", C1, C1)
-    C1tC2 = jnp.einsum("...ki,...kj->...ij", C1, C2)
-    G = jnp.linalg.solve(C1tC1, C1tC2)  # (..., 6, 4)
+    C1tC1 = jnp.einsum("...ki,...kj->...ij", C1, C1, precision=_HI)
+    C1tC2 = jnp.einsum("...ki,...kj->...ij", C1, C2, precision=_HI)
+    G = _spd_solve(C1tC1, C1tC2)  # (..., 6, 4)
 
     # Row 5 ↔ monomial `x`, row 4 ↔ `xy`:
     #   x  = −(G₅ · [y³, y², y, 1]);  x·y = −(G₄ · [y³, y², y, 1])
     # ⇒ quartic  G₅₀ y⁴ + (G₅₁−G₄₀) y³ + (G₅₂−G₄₁) y² + (G₅₃−G₄₂) y − G₄₃ = 0.
     g5 = G[..., 5, :]
     g4 = G[..., 4, :]
-    roots_re, _ = solve_quartic(
-        g5[..., 0],
-        g5[..., 1] - g4[..., 0],
-        g5[..., 2] - g4[..., 1],
-        g5[..., 3] - g4[..., 2],
-        -g4[..., 3],
-    )  # (..., 4)
+    qa = g5[..., 0]
+    qb = g5[..., 1] - g4[..., 0]
+    qc = g5[..., 2] - g4[..., 1]
+    qd = g5[..., 3] - g4[..., 2]
+    qe = -g4[..., 3]
+    roots_re, _ = solve_quartic(qa, qb, qc, qd, qe)  # (..., 4)
 
+    # Newton polish of the real root candidates — recovers the precision the
+    # closed-form path loses in float32 (and costs a handful of FMAs).
     y = roots_re
+    for _ in range(2):
+        qa_, qb_, qc_, qd_, qe_ = (
+            t[..., None] for t in (qa, qb, qc, qd, qe)
+        )
+        p = (((qa_ * y + qb_) * y + qc_) * y + qd_) * y + qe_
+        dp = ((4.0 * qa_ * y + 3.0 * qb_) * y + 2.0 * qc_) * y + qd_
+        step = p / jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
+        y = y - jnp.clip(step, -1.0, 1.0)
     x = -(
         g5[..., None, 0] * y**3
         + g5[..., None, 1] * y * y

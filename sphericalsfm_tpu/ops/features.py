@@ -151,16 +151,16 @@ def _grid_nms(resp_flat, xy, cell: float, width: float, per_cell: int, k: int):
     ncols = int(math.ceil(width / cell)) + 1
     n = resp_flat.shape[0]
     cells = (
-        jnp.floor(xy[:, 1] / cell).astype(jnp.int64) * ncols
-        + jnp.floor(xy[:, 0] / cell).astype(jnp.int64)
+        jnp.floor(xy[:, 1] / cell).astype(jnp.int32) * ncols
+        + jnp.floor(xy[:, 0] / cell).astype(jnp.int32)
     )
-    # Sort by (cell, −response): within a cell, strongest first. Then the
-    # rank within the cell is position − first-position-of-cell, found with
-    # a searchsorted on the sorted cell ids — O(N log N), no dense histogram.
+    # Sort by (cell, −response): sort by response first, then a *stable* sort
+    # by cell id preserves the strongest-first order within each cell. The
+    # rank within the cell is then position − first-position-of-cell, found
+    # with a searchsorted on the sorted ids — O(N log N), no dense histogram,
+    # no overflow-prone combined sort keys.
     resp_order = jnp.argsort(-resp_flat)
-    resp_rank = jnp.zeros((n,), jnp.int64).at[resp_order].set(jnp.arange(n))
-    key_sort = cells * n + resp_rank
-    order = jnp.argsort(key_sort)
+    order = resp_order[jnp.argsort(cells[resp_order], stable=True)]
     cells_sorted = cells[order]
     first_idx = jnp.searchsorted(cells_sorted, cells_sorted, side="left")
     rank_in_cell = jnp.arange(n) - first_idx

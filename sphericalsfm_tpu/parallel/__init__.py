@@ -1,0 +1,4 @@
+from .sharded import (
+    make_mesh, pad_to_multiple, sharded_pairwise_ransac,
+    shard_ba_problem, distributed_bundle_adjust,
+)

@@ -1,0 +1,131 @@
+"""Multi-chip sharding of the SfM pipeline over a jax.sharding.Mesh.
+
+The reference is a single-process OpenMP program (SURVEY.md §2.5); its
+parallel axes map onto a device mesh as:
+
+  image pairs / RANSAC hypotheses → `data` axis (embarrassingly parallel;
+      shard_map with zero collectives)
+  BA observations and points      → `data` axis, cameras replicated; the
+      reduced camera system is assembled locally per shard and `psum`-reduced
+      over ICI, the dense camera solve is replicated, and point
+      back-substitution stays local to each shard (the Schur-reduction
+      layout of BASELINE.json's north star)
+  focal hypotheses                → `data` axis (one vmap, sharded)
+
+Everything works on a CPU mesh (`--xla_force_host_platform_device_count`)
+for testing and on a TPU slice unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..optim.ba import BAProblem
+from ..ransac.spherical import spherical_ransac
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, fill=0):
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=fill)
+
+
+def sharded_pairwise_ransac(
+    mesh: Mesh,
+    keys: jax.Array,        # (P,) PRNG keys
+    u: jnp.ndarray,         # (P, N, 3)
+    v: jnp.ndarray,
+    mask: jnp.ndarray,      # (P, N)
+    sq_thresh,
+    num_hypotheses: int = 512,
+    inward: bool = False,
+):
+    """All image pairs across the mesh's data axis — no collectives needed.
+
+    P must be a multiple of the mesh size (pad with masked pairs).
+    """
+    axis = mesh.axis_names[0]
+    spec = NamedSharding(mesh, P(axis))
+
+    def run(k, uu, vv, mm):
+        return spherical_ransac(
+            k, uu, vv, mm, sq_thresh=sq_thresh,
+            num_hypotheses=num_hypotheses, inward=inward,
+        )
+
+    fn = jax.jit(
+        jax.vmap(run),
+        in_shardings=(spec, spec, spec, spec),
+    )
+    return fn(
+        jax.device_put(keys, spec),
+        jax.device_put(u, spec),
+        jax.device_put(v, spec),
+        jax.device_put(mask, spec),
+    )
+
+
+def shard_ba_problem(mesh: Mesh, p: BAProblem) -> BAProblem:
+    """Lay a BAProblem out on the mesh: observations and points sharded on
+    the data axis, cameras and scalars replicated.
+
+    Note: obs/track tables must already be padded to multiples of the mesh
+    size (use pad_to_multiple with obs_w/track_mask zero fills).
+    """
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return BAProblem(
+        focal=jax.device_put(p.focal, rep),
+        cam_t=jax.device_put(p.cam_t, rep),
+        cam_r=jax.device_put(p.cam_r, rep),
+        points=jax.device_put(p.points, sh),
+        obs_cam=jax.device_put(p.obs_cam, sh),
+        obs_pt=jax.device_put(p.obs_pt, sh),
+        obs_uv=jax.device_put(p.obs_uv, sh),
+        obs_w=jax.device_put(p.obs_w, sh),
+        track_obs=jax.device_put(p.track_obs, sh),
+        track_mask=jax.device_put(p.track_mask, sh),
+        focal_fixed=jax.device_put(p.focal_fixed, rep),
+        rot_fixed=jax.device_put(p.rot_fixed, rep),
+        trans_fixed=jax.device_put(p.trans_fixed, rep),
+        point_fixed=jax.device_put(p.point_fixed, sh),
+    )
+
+
+def distributed_bundle_adjust(
+    mesh: Mesh,
+    p: BAProblem,
+    max_iters: int = 10,
+    solve_dtype_name: str = "float32",
+):
+    """Bundle adjustment with mesh-sharded observations/points.
+
+    GSPMD partitions the per-observation Jacobian work and the per-point
+    Schur blocks along `data`; the (6C+1)² reduced camera system is assembled
+    with cross-shard reductions (XLA inserts the psum) and solved replicated.
+    """
+    from ..optim.ba import bundle_adjust
+
+    p_sharded = shard_ba_problem(mesh, p)
+    with mesh:
+        return bundle_adjust(
+            p_sharded, max_iters=max_iters, solve_dtype_name=solve_dtype_name
+        )

@@ -1,0 +1,90 @@
+"""Typed configuration for the whole pipeline (SURVEY.md §5.6).
+
+One dataclass replaces the reference's per-driver gflags
+(run_spherical_sfm.cpp:17-27, run_spherical_sfm_uncalib.cpp:20-30) and its
+scattered hardcoded constants (SIFT caps spherical_sfm_tools.cpp:177-186,
+focal search ranges run_spherical_sfm_uncalib.cpp:141-146, stitcher constants
+stereo_panorama_tools.cpp:30-32). Defaults mirror the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FrontendConfig:
+    """Feature detection + matching."""
+
+    max_keypoints: int = 4000          # reference ANMS cap
+    num_octaves: int = 4
+    match_ratio: float = 0.75          # Lowe ratio
+    max_matches_per_pair: int = 1024
+    detector: str = "tpu"              # "tpu" (DoG/SIFT kernel) or "opencv"
+    frame_stride: int = 1
+
+
+@dataclass
+class RansacConfig:
+    inlier_threshold_px: float = 2.0
+    min_num_inliers: int = 100
+    num_hypotheses: int = 1024
+    pair_chunk: int = 64
+
+
+@dataclass
+class GraphConfig:
+    min_rotation_deg: float = 1.0      # -minrot
+    num_frames_begin: int = 30         # loop-closure search windows
+    num_frames_end: int = 30
+    best_only: bool = False
+    sequential: bool = True            # rotation init strategy
+    triplet_filter_deg: float = 2.0
+
+
+@dataclass
+class FocalSearchConfig:
+    """Uncalibrated shared-focal search (ICCV 2025 pipeline)."""
+
+    num_trials: int = 1024
+    min_focal_factor: float = 0.25     # guess/4
+    max_focal_factor: float = 2.0      # guess*2
+
+
+@dataclass
+class BAConfig:
+    max_iters: int = 200
+    loss_scale: float = 1.0            # Cauchy
+    solve_dtype: str = "float64"       # "float32" on TPU
+    filter_threshold_px: float = 8.0
+
+
+@dataclass
+class PipelineConfig:
+    inward: bool = False
+    general_ba: bool = False           # unfix translations at the end
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    focal: FocalSearchConfig = field(default_factory=FocalSearchConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        sub_map = dict(
+            frontend=FrontendConfig, ransac=RansacConfig, graph=GraphConfig,
+            focal=FocalSearchConfig, ba=BAConfig,
+        )
+        kwargs = {
+            k: (sub_map[k](**v) if k in sub_map else v) for k, v in d.items()
+        }
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return cls.from_dict(json.loads(s))

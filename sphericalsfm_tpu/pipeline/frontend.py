@@ -1,0 +1,190 @@
+"""Image frontend: frame loading, feature detection, exhaustive matching.
+
+Capability parity with the reference's detect_features / match /
+match_exhaustive / make_loop_closures
+(/root/reference/examples/spherical_sfm_tools.cpp:176-307, 575-734): read
+every frame of a video or printf-style image pattern, detect capped keypoint
+sets with per-keypoint color samples, match all O(N²) ordered pairs with
+ratio-test knn, and search begin/end frame windows for loop closures.
+
+The reference parallelizes with OpenMP; here detection is a vmapped TPU
+kernel over batched frames, matching is chunked MXU contractions, and frame
+decode stays on the host (cv2, the only imaging dependency — optional: the
+detector also accepts pre-loaded arrays).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FrontendConfig
+from ..ops.features import detect_batch
+from ..ops.matching import match_pair, match_to_index_pairs
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-shape per-capture feature tables."""
+
+    xy: np.ndarray           # (F, K, 2)
+    descriptor: np.ndarray   # (F, K, 128) float32
+    valid: np.ndarray        # (F, K)
+    color: np.ndarray        # (F, K, 3) uint8 (BGR like the reference)
+    counts: np.ndarray       # (F,) valid keypoints per frame
+    width: int
+    height: int
+
+
+def load_frames(path: str, stride: int = 1, max_frames: int | None = None):
+    """Read frames from a video file or printf-style image pattern via
+    cv2.VideoCapture (the reference uses the same API for both —
+    spherical_sfm_tools.cpp:273-297). Returns (gray (F,H,W) float32 in [0,1],
+    color (F,H,W,3) uint8)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"could not read video/pattern: {path}")
+    grays, colors = [], []
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % stride == 0:
+            colors.append(frame)
+            grays.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+        i += 1
+        if max_frames is not None and len(grays) >= max_frames:
+            break
+    cap.release()
+    if not grays:
+        raise IOError(f"no frames decoded from {path}")
+    gray = np.stack(grays).astype(np.float32) / 255.0
+    return gray, np.stack(colors)
+
+
+def detect_features(
+    gray: np.ndarray,                   # (F, H, W) float32 [0, 1]
+    color: np.ndarray | None = None,    # (F, H, W, 3) uint8
+    cfg: FrontendConfig = FrontendConfig(),
+    batch: int = 8,
+) -> FrameFeatures:
+    """Detect features on every frame (batched TPU kernel, or OpenCV SIFT
+    when cfg.detector == 'opencv' for cross-checks)."""
+    F, H, W = gray.shape
+    K = cfg.max_keypoints
+    if cfg.detector == "opencv":
+        return _detect_opencv(gray, color, cfg)
+
+    xs, ds, vs = [], [], []
+    for s in range(0, F, batch):
+        e = min(s + batch, F)
+        feats = detect_batch(jnp.asarray(gray[s:e]), max_keypoints=K,
+                             num_octaves=cfg.num_octaves)
+        xs.append(np.asarray(feats.xy))
+        ds.append(np.asarray(feats.descriptor))
+        vs.append(np.asarray(feats.valid))
+    xy = np.concatenate(xs)
+    desc = np.concatenate(ds)
+    valid = np.concatenate(vs)
+    col = _sample_colors(xy, valid, color, H, W)
+    return FrameFeatures(
+        xy=xy, descriptor=desc, valid=valid, color=col,
+        counts=valid.sum(axis=1).astype(np.int64), width=W, height=H,
+    )
+
+
+def _sample_colors(xy, valid, color, H, W):
+    F, K = valid.shape
+    col = np.zeros((F, K, 3), np.uint8)
+    if color is not None:
+        xi = np.clip(xy[..., 0].astype(int), 0, W - 1)
+        yi = np.clip(xy[..., 1].astype(int), 0, H - 1)
+        for f in range(F):
+            col[f] = color[f][yi[f], xi[f]]
+    return col
+
+
+def _detect_opencv(gray, color, cfg: FrontendConfig) -> FrameFeatures:
+    """Host OpenCV SIFT backend (the reference's detector: SIFT::create with
+    a large candidate budget capped to max_keypoints), for parity checks."""
+    import cv2
+
+    F, H, W = gray.shape
+    K = cfg.max_keypoints
+    sift = cv2.SIFT_create(20000)
+    xy = np.zeros((F, K, 2), np.float64)
+    desc = np.zeros((F, K, 128), np.float32)
+    valid = np.zeros((F, K), bool)
+    for f in range(F):
+        img8 = (gray[f] * 255).astype(np.uint8)
+        kps, d = sift.detectAndCompute(img8, None)
+        if not kps:
+            continue
+        order = np.argsort([-k.response for k in kps])[:K]
+        for out_i, i in enumerate(order):
+            xy[f, out_i] = kps[i].pt
+            desc[f, out_i] = d[i]
+            valid[f, out_i] = True
+        # L2-normalize for the dot-product matcher
+        n = np.linalg.norm(desc[f], axis=-1, keepdims=True)
+        desc[f] = np.where(n > 0, desc[f] / np.maximum(n, 1e-9), 0)
+    col = _sample_colors(xy, valid, color, H, W)
+    return FrameFeatures(xy=xy, descriptor=desc, valid=valid, color=col,
+                         counts=valid.sum(axis=1).astype(np.int64),
+                         width=W, height=H)
+
+
+def match_pairs(
+    feats: FrameFeatures,
+    pair_i: np.ndarray,
+    pair_j: np.ndarray,
+    cfg: FrontendConfig = FrontendConfig(),
+    chunk: int = 32,
+):
+    """Ratio-test matching of the given frame pairs (chunked vmap).
+
+    Returns padded index tables (idx0, idx1, mask) of shape
+    (P, cfg.max_matches_per_pair).
+    """
+    desc = jnp.asarray(feats.descriptor)
+    valid = jnp.asarray(feats.valid)
+    M = cfg.max_matches_per_pair
+
+    run = jax.jit(
+        jax.vmap(
+            lambda d0, d1, v0, v1: match_to_index_pairs(
+                *match_pair(d0, d1, v0, v1, ratio=cfg.match_ratio), M
+            )
+        )
+    )
+    P = len(pair_i)
+    i0s, i1s, ms = [], [], []
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        a = pair_i[s:e]
+        b = pair_j[s:e]
+        i0, i1, mk = run(desc[a], desc[b], valid[a], valid[b])
+        i0s.append(np.asarray(i0))
+        i1s.append(np.asarray(i1))
+        ms.append(np.asarray(mk))
+    return np.concatenate(i0s), np.concatenate(i1s), np.concatenate(ms)
+
+
+def loop_closure_pairs(num_frames: int, num_begin: int, num_end: int):
+    """Begin-window x end-window candidate pairs, skipping adjacent frames
+    (reference make_loop_closures pair enumeration,
+    spherical_sfm_tools.cpp:602-650)."""
+    pi, pj = [], []
+    for i in range(min(num_begin, num_frames)):
+        for j in range(max(0, num_frames - num_end), num_frames):
+            if j <= i + 1:
+                continue
+            pi.append(i)
+            pj.append(j)
+    return np.asarray(pi, np.int32), np.asarray(pj, np.int32)

@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sphericalsfm_tpu.eval.synthetic import make_random_problems
+from sphericalsfm_tpu.eval.metrics import rotation_error_deg
+from sphericalsfm_tpu.geometry import so3_exp
+from sphericalsfm_tpu.parallel import (
+    distributed_bundle_adjust,
+    make_mesh,
+    sharded_pairwise_ransac,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_sharded_pairwise_ransac_matches_single_device():
+    mesh = make_mesh(8)
+    P = 16
+    prob = make_random_problems(
+        jax.random.PRNGKey(0), batch=P, num_corr=64, rotation_deg=3.0,
+        point_noise=0.5 / 600.0,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), P)
+    res = sharded_pairwise_ransac(
+        mesh, keys, prob.u, prob.v, prob.valid,
+        sq_thresh=jnp.asarray((2.0 / 600.0) ** 2), num_hypotheses=256,
+    )
+    errs = np.asarray(rotation_error_deg(so3_exp(res.r), prob.R))
+    assert np.median(errs) < 0.2, errs
+    # sharded output must cover every pair
+    assert res.r.shape == (P, 3)
+    assert int(jnp.sum(res.num_inliers > 32)) == P
+
+
+def test_distributed_ba_matches_single_device():
+    """Sharded BA must reproduce the single-device result."""
+    from tests.test_ba import make_scene, build_problem
+    from sphericalsfm_tpu.optim.ba import bundle_adjust
+
+    scene = make_scene(seed=1, C=8, P=64)
+    cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w = scene
+    rng = np.random.default_rng(0)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.01
+    cam_r_pert[0] = cam_r[0]
+
+    # pad observation table to a multiple of 8 for even sharding
+    K = len(obs_cam)
+    pad = (-K) % 8
+    obs_cam = np.pad(obs_cam, (0, pad))
+    obs_pt = np.pad(obs_pt, (0, pad))
+    obs_uv = np.pad(obs_uv, ((0, pad), (0, 0)))
+    w = np.pad(w, (0, pad))
+
+    p = build_problem(cam_r_pert, cam_t, pts, obs_cam, obs_pt, obs_uv, w)
+
+    res_single = bundle_adjust(p, max_iters=15)
+    mesh = make_mesh(8)
+    res_dist = distributed_bundle_adjust(mesh, p, max_iters=15)
+
+    np.testing.assert_allclose(
+        float(res_dist.cost), float(res_single.cost),
+        rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_dist.cam_r), np.asarray(res_single.cam_r), atol=1e-8
+    )

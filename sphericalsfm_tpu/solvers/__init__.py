@@ -1,2 +1,3 @@
 from .quartic import solve_quartic
 from .spherical import solve_spherical_3pt, epipolar_constraint_rows
+from .five_point import solve_essential_5pt, decompose_essential, cheirality_best

@@ -76,14 +76,16 @@ def _rotation_candidates(E: jnp.ndarray):
     """SVD twisted-pair candidates (R1, R2, tu) from an essential matrix.
 
     tu is the left null direction U·e₃ (translation direction up to sign).
-    Determinant signs of U, V are fixed by negating the full matrix, matching
-    the closed-form variant of the reference (spherical_utils.cpp:23-29).
+    Uses the rank-2-specialized Jacobi SVD (ops/linalg.py) — U is
+    right-handed by construction; V's handedness is fixed by flipping its
+    null column (which cannot change E). Mirrors the det-sign handling of
+    the reference's closed-form variant (spherical_utils.cpp:23-29).
     """
-    U, _, Vt = jnp.linalg.svd(E)
-    detU = jnp.linalg.det(U)
+    from ..ops.linalg import svd3_rank2
+
+    U, _, Vt = svd3_rank2(E)
     detV = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2))
-    U = U * jnp.sign(detU)[..., None, None]
-    Vt = Vt * jnp.sign(detV)[..., None, None]
+    Vt = Vt.at[..., 2, :].multiply(jnp.sign(detV)[..., None])
     D = _D.astype(E.dtype)
     DT = _DT.astype(E.dtype)
     R1 = U @ D @ Vt

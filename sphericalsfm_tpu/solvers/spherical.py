@@ -100,7 +100,16 @@ def _nullspace3(A: jnp.ndarray) -> jnp.ndarray:
 
     All contractions use Precision.HIGHEST: on TPU the MXU default would
     compute these in reduced precision, which is fatal for the elimination.
+
+    Minimal samples (N = 3) take the exact orthogonal-complement path —
+    Gram-Schmidt basis completion, no eigensolver at all (the hot RANSAC
+    path); non-minimal samples need the best rank-3 subspace of a noisy
+    system and use eigh.
     """
+    if A.shape[-2] == 3:
+        from ..ops.linalg import nullspace_exact
+
+        return nullspace_exact(A, 3)
     AtA = jnp.einsum("...ni,...nj->...ij", A, A, precision=_HI)
     _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     return V[..., :, :3][..., :, ::-1]

@@ -93,8 +93,29 @@ def run_frontend(
     log: StageLogger,
     gray: np.ndarray | None = None,
     color: np.ndarray | None = None,
+    cache_path: str | None = None,
 ) -> FrontendResult:
-    """Frames → features → exhaustive matches."""
+    """Frames → features → exhaustive matches.
+
+    With `cache_path`, the result checkpoints to an .npz and later runs
+    resume past detection+matching (the stage-checkpoint equivalent of the
+    reference's write_feature_tracks/read_feature_tracks resume branch,
+    run_spherical_sfm.cpp:45-67; SURVEY.md §5.4).
+    """
+    if cache_path and os.path.exists(cache_path):
+        log.start("load_frontend_cache")
+        z = np.load(cache_path)
+        fr = FrontendResult(
+            FrameFeatures(
+                xy=z["xy"], descriptor=z["descriptor"], valid=z["valid"],
+                color=z["color"], counts=z["counts"],
+                width=int(z["width"]), height=int(z["height"]),
+            ),
+            z["pair_i"], z["pair_j"], z["idx0"], z["idx1"], z["mmask"],
+        )
+        log.end(frames=fr.feats.valid.shape[0], cached=True)
+        return fr
+
     log.start("load_frames")
     if gray is None:
         gray, color = load_frames(video, stride=cfg.frontend.frame_stride)
@@ -109,7 +130,17 @@ def run_frontend(
     pair_i, pair_j = all_pairs(len(gray))
     idx0, idx1, mmask = match_pairs(feats, pair_i, pair_j, cfg.frontend)
     log.end(pairs=len(pair_i), matches=int(mmask.sum()))
-    return FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
+    fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
+    if cache_path:
+        np.savez_compressed(
+            cache_path,
+            xy=fr.feats.xy, descriptor=fr.feats.descriptor,
+            valid=fr.feats.valid, color=fr.feats.color,
+            counts=fr.feats.counts, width=fr.feats.width,
+            height=fr.feats.height, pair_i=fr.pair_i, pair_j=fr.pair_j,
+            idx0=fr.idx0, idx1=fr.idx1, mmask=fr.mmask,
+        )
+    return fr
 
 
 def _graph_from_pairwise(fr: FrontendResult, pw, keep, min_rotation_deg):
@@ -135,7 +166,10 @@ def run_calibrated(
     log = StageLogger(output_dir)
     key = jax.random.PRNGKey(0)
 
-    fr = frontend or run_frontend(video, cfg, log, gray, color)
+    fr = frontend or run_frontend(
+        video, cfg, log, gray, color,
+        cache_path=os.path.join(output_dir, "frontend.npz"),
+    )
     F = fr.feats.valid.shape[0]
 
     log.start("estimate_pairwise")
@@ -259,7 +293,10 @@ def run_uncalibrated(
         fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
         log.end(frames=F, pairs=len(pair_i))
     else:
-        fr = frontend or run_frontend(video, cfg, log, gray, color)
+        fr = frontend or run_frontend(
+            video, cfg, log, gray, color,
+            cache_path=os.path.join(output_dir, "frontend.npz"),
+        )
         W, H = fr.feats.width, fr.feats.height
         F = fr.feats.valid.shape[0]
     if image_size is not None:

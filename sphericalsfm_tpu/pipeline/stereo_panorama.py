@@ -367,3 +367,127 @@ def make_stereo_panoramas(
 
         iio.imwrite(os.path.join(output_dir, f"overunder{nphi - p - 1}{p}.png"), over)
     return sphericals
+
+
+def synthesize_view(
+    focal, cx, cy, height, width,
+    theta,                       # synthetic camera azimuth
+    left_pose, right_pose, alpha,
+    left_img, right_img,
+    flow_lr, flow_rl,
+):
+    """Synthesize one full view from a circle camera at azimuth theta —
+    whole-image analogue of the column synthesis (reference make_circle_views,
+    stereo_panorama_tools.cpp:639-851): plane-induced maps into both
+    keyframes, flow correction, alpha blend."""
+    dtype = jnp.float32
+    synth_t = jnp.asarray([0.0, 0.0, -SYNTH_RADIUS], dtype)
+    theta = jnp.asarray(theta, dtype)
+    zero = jnp.zeros_like(theta)
+    synth_R = so3_exp(jnp.stack([zero, -theta, zero]))
+    synth_focal = focal * SYNTH_FOCAL_FACTOR
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=dtype), jnp.arange(width, dtype=dtype),
+        indexing="ij",
+    )
+    synth_x = jnp.stack(
+        [(xs - cx) / synth_focal, (ys - cy) / synth_focal, jnp.ones_like(xs)],
+        -1,
+    )
+    world_X = jnp.einsum("ji,hwj->hwi", synth_R, synth_x * DEPTH - synth_t)
+
+    def project(pose):
+        Rc = so3_exp(jnp.asarray(pose[0], dtype))
+        Xc = jnp.einsum("ij,hwj->hwi", Rc, world_X) + jnp.asarray(pose[1], dtype)
+        z = jnp.where(jnp.abs(Xc[..., 2]) > 1e-9, Xc[..., 2], 1e-9)
+        return jnp.stack(
+            [focal * Xc[..., 0] / z + cx, focal * Xc[..., 1] / z + cy], -1
+        ), Xc[..., 2] > 0
+
+    xL, vL = project(left_pose)
+    xR, vR = project(right_pose)
+    v_LR = xR - xL
+    F_LR = _bilinear_rgb(flow_lr, xL[..., 0], xL[..., 1])
+    F_RL = _bilinear_rgb(flow_rl, xR[..., 0], xR[..., 1])
+    xs_L = xL + alpha * (v_LR - F_LR)
+    xs_R = xR + (1.0 - alpha) * (-v_LR - F_RL)
+    I_L = _bilinear_rgb(left_img, xs_L[..., 0], xs_L[..., 1])
+    I_R = _bilinear_rgb(right_img, xs_R[..., 0], xs_R[..., 1])
+    out = (1.0 - alpha) * I_L + alpha * I_R
+    return out, vL & vR
+
+
+def make_circle_views(
+    poses_path: str,
+    frames: np.ndarray,
+    intrinsics,
+    output_dir: str,
+    num_views: int = 64,
+    is_loop: bool = True,
+    flow_levels: int = 4,
+):
+    """Render `num_views` synthetic whole views on the synthesis circle
+    (reference make_circle_views / D4's second mode)."""
+    focal, cx, cy = intrinsics
+    os.makedirs(output_dir, exist_ok=True)
+    idx, ts, rs = read_poses(poses_path)
+    idx, rs, ts = normalize_trajectory(idx, rs, ts)
+    th = compute_thetas(rs, ts)
+    kf = order_keyframes(PanoKeyframes(idx, rs, ts, th), is_loop)
+    F = len(kf.index)
+    H, W = frames.shape[1:3]
+
+    up = np.array([0.0, 1.0, 0.0])
+    R = _rotmats(kf.r)
+    centers = -np.einsum("cji,cj->ci", R, kf.t)
+
+    flow_fn = jax.jit(lambda a, b: horn_schunck_flow(a, b, num_levels=flow_levels))
+    view_fn = jax.jit(synthesize_view, static_argnums=(3, 4))
+
+    thetas = -np.pi + np.arange(num_views) * (2 * np.pi / num_views)
+    import imageio.v2 as iio
+
+    written = 0
+    for vi, theta in enumerate(thetas):
+        synth_R = _rotmats(np.array([[0.0, -theta, 0.0]]))[0]
+        C_D = -synth_R.T @ np.array([0.0, 0.0, -SYNTH_RADIUS])
+
+        def pr(vec):
+            return vec - up * np.dot(vec, up)
+
+        def signed_angle(a, b):
+            return np.arctan2(np.dot(np.cross(a, b), up), np.dot(a, b))
+
+        best = None
+        rs_D = pr(synth_R.T @ (np.array([0.0, 0.0, 1.0]) - np.array([0, 0, -SYNTH_RADIUS])))
+        for k in range(F if is_loop else F - 1):
+            left, right = k, (k + 1) % F
+            a_LD = signed_angle(pr(centers[left] - C_D), rs_D)
+            a_RD = signed_angle(pr(centers[right] - C_D), rs_D)
+            a_LR = signed_angle(pr(centers[left] - C_D), pr(centers[right] - C_D))
+            if a_LD * a_RD < 0 and abs(a_LD) < np.pi / 2 and abs(a_RD) < np.pi / 2:
+                best = (left, right, abs(a_LD) / max(abs(a_LR), 1e-12))
+                break
+        if best is None:
+            continue
+        left, right, alpha = best
+        li = frames[kf.index[left] if kf.index[left] < len(frames) else left]
+        ri = frames[kf.index[right] if kf.index[right] < len(frames) else right]
+        lg = jnp.asarray(li.mean(-1) / 255.0, jnp.float32)
+        rg = jnp.asarray(ri.mean(-1) / 255.0, jnp.float32)
+        uf, vf = flow_fn(lg, rg)
+        ub, vb = flow_fn(rg, lg)
+        img, valid = view_fn(
+            jnp.float32(focal), jnp.float32(cx), jnp.float32(cy), H, W,
+            jnp.float32(theta),
+            (kf.r[left], kf.t[left]), (kf.r[right], kf.t[right]),
+            jnp.float32(alpha),
+            jnp.asarray(li, jnp.float32), jnp.asarray(ri, jnp.float32),
+            jnp.stack([uf, vf], -1), jnp.stack([ub, vb], -1),
+        )
+        out = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        out[~np.asarray(valid)] = 0
+        iio.imwrite(os.path.join(output_dir, f"view{vi:04d}.png"), out)
+        written += 1
+    return written

@@ -62,3 +62,23 @@ def test_poses_and_nerf_export(tmp_path):
     # camera centers normalized to ~4 units from the attention center
     centers = np.stack([np.asarray(f["transform_matrix"])[:3, 3] for f in data["frames"]])
     assert 1.0 < np.linalg.norm(centers, axis=-1).mean() < 8.0
+
+
+def test_experiment_runners(tmp_path):
+    """Smoke: the E5-parity experiment harness produces CSV artifacts."""
+    from sphericalsfm_tpu.eval.experiments import (
+        noise_experiment, stability_experiment, timing_experiment,
+        ransac_experiment,
+    )
+
+    rows = noise_experiment(str(tmp_path / "noise.csv"),
+                            noises_px=(0.0, 1.0), trials=200)
+    assert rows[0]["median_frob"] < 1e-8 < rows[1]["median_frob"] < 1.0
+    st = stability_experiment(str(tmp_path / "stab.csv"), trials=500)
+    assert st["median"] < -8
+    t = timing_experiment(str(tmp_path / "time.csv"), batch=512, reps=3)
+    assert t["solves_per_s"] > 100
+    r = ransac_experiment(str(tmp_path / "ransac.csv"), trials=16)
+    assert r["median_rot_deg"] < 0.5
+    for f in ("noise.csv", "stab.csv", "time.csv", "ransac.csv"):
+        assert (tmp_path / f).exists()

@@ -85,3 +85,28 @@ def test_full_stitcher_on_rendered_capture(tmp_path):
     cyl = iio.imread(out / "cylindrical1.png")
     filled = (cyl.sum(axis=(0, 2)) > 0).mean()
     assert filled > 0.8, filled
+
+
+def test_circle_views(tmp_path):
+    from tests.test_driver import render_capture, FOCAL, W, H
+    from sphericalsfm_tpu.pipeline.stereo_panorama import make_circle_views
+
+    C = 12
+    cam_r, cam_t, gray, color = render_capture(num_frames=C, arc=1.0)
+    poses = tmp_path / "poses.txt"
+    with open(poses, "w") as f:
+        for i in range(C):
+            vals = list(cam_t[i]) + list(cam_r[i])
+            f.write(f"{i} " + " ".join(f"{v:.15f}" for v in vals) + " \n")
+    out = tmp_path / "views"
+    n = make_circle_views(
+        str(poses), color, (FOCAL, W / 2.0, H / 2.0), str(out),
+        num_views=8, is_loop=True, flow_levels=3,
+    )
+    assert n >= 6, n
+    import imageio.v2 as iio
+    import numpy as np
+
+    img = iio.imread(out / "view0000.png")
+    assert img.shape == (H, W, 3)
+    assert (img.sum(axis=-1) > 0).mean() > 0.5

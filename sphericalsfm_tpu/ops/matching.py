@@ -91,3 +91,86 @@ def match_to_index_pairs(m01: jnp.ndarray, mask: jnp.ndarray, max_matches: int):
     valid = mask[idx0]
     idx1 = jnp.where(valid, m01[idx0], 0)
     return idx0.astype(jnp.int32), idx1.astype(jnp.int32), valid
+
+
+def nn_to_index_pairs(
+    nn: jnp.ndarray, accept: jnp.ndarray, num_train: int, max_matches: int
+):
+    """Query-indexed nearest neighbors → compact dedup'd index pairs.
+
+    nn (Kq,): train index per query; accept (Kq,): ratio-test survivors.
+    Keeps one query per train feature (first by train order — the same
+    one-match-per-feature invariant the reference's m01 std::map enforces),
+    via one stable sort instead of a scatter (scatters dominate on TPU).
+    Returns (idx0 (M,) train, idx1 (M,) query, valid (M,)).
+    """
+    kq = nn.shape[0]
+    key = jnp.where(accept, nn, num_train)  # rejected → sort to the end
+    order = jnp.argsort(key, stable=True)
+    key_sorted = key[order]
+    first = jnp.ones_like(key_sorted, bool).at[1:].set(
+        key_sorted[1:] != key_sorted[:-1]
+    )
+    valid_sorted = (key_sorted < num_train) & first
+    # compact the survivors to the front
+    comp = jnp.argsort(~valid_sorted, stable=True)[:max_matches]
+    idx0 = key_sorted[comp].astype(jnp.int32)
+    idx1 = order[comp].astype(jnp.int32)
+    valid = valid_sorted[comp]
+    idx0 = jnp.where(valid, idx0, 0)
+    idx1 = jnp.where(valid, idx1, 0)
+    return idx0, idx1, valid
+
+
+def match_pair_compact(
+    d0: jnp.ndarray,
+    d1: jnp.ndarray,
+    valid0: jnp.ndarray,
+    valid1: jnp.ndarray,
+    max_matches: int,
+    ratio: float = 0.75,
+    use_pallas: bool | None = None,
+):
+    """Ratio-test matching straight to compact index pairs — the hot-path
+    entry used by the exhaustive sweep. Uses the Pallas streaming top-2
+    kernel on TPU backends, the XLA distance-matrix path elsewhere.
+    """
+    i0, i1, valid = match_pairs_compact_batched(
+        d0[None], d1[None], valid0[None], valid1[None],
+        max_matches, ratio, use_pallas,
+    )
+    return i0[0], i1[0], valid[0]
+
+
+def match_pairs_compact_batched(
+    d0: jnp.ndarray,       # (B, K0, D)
+    d1: jnp.ndarray,       # (B, K1, D)
+    valid0: jnp.ndarray,
+    valid1: jnp.ndarray,
+    max_matches: int,
+    ratio: float = 0.75,
+    use_pallas: bool | None = None,
+):
+    """Batched exhaustive-sweep matcher → compact (i0, i1, valid) tables.
+
+    The Pallas kernel carries a native pair-batch grid axis (vmapping
+    pallas_call regresses badly); the cheap dedupe/compaction is vmapped.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from .pallas_matching import two_nearest_neighbors_batched
+
+        m1, m2, nn = two_nearest_neighbors_batched(d0, d1, valid0, valid1)
+    else:
+        def one(dd0, dd1, v0, v1):
+            d = pairwise_sq_dists(dd1, dd0)
+            d = jnp.where(v0[None, :], d, _INF)
+            d = jnp.where(v1[:, None], d, _INF)
+            return _two_smallest(d)
+
+        m1, m2, nn = jax.vmap(one)(d0, d1, valid0, valid1)
+    accept = (m1 < (ratio * ratio) * m2) & valid1 & jnp.isfinite(m1)
+    return jax.vmap(
+        lambda n, a: nn_to_index_pairs(n, a, d0.shape[1], max_matches)
+    )(nn, accept)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import FrontendConfig
 from ..ops.features import detect_batch
-from ..ops.matching import match_pair, match_to_index_pairs
+from ..ops.matching import match_pairs_compact_batched
 
 
 class FrameFeatures(NamedTuple):
@@ -157,10 +157,8 @@ def match_pairs(
     M = cfg.max_matches_per_pair
 
     run = jax.jit(
-        jax.vmap(
-            lambda d0, d1, v0, v1: match_to_index_pairs(
-                *match_pair(d0, d1, v0, v1, ratio=cfg.match_ratio), M
-            )
+        lambda d0, d1, v0, v1: match_pairs_compact_batched(
+            d0, d1, v0, v1, M, ratio=cfg.match_ratio
         )
     )
     P = len(pair_i)

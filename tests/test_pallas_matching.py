@@ -1,0 +1,78 @@
+"""Pallas streaming matcher tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sphericalsfm_tpu.ops.matching import (
+    _two_smallest,
+    match_pairs_compact_batched,
+    nn_to_index_pairs,
+    pairwise_sq_dists,
+)
+from sphericalsfm_tpu.ops.pallas_matching import two_nearest_neighbors_batched
+
+
+def _descriptors(seed, B, K, noise=0.05):
+    rng = np.random.default_rng(seed)
+    d0 = rng.normal(size=(B, K, 128)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    perm = rng.permutation(K)
+    d1 = d0[:, perm] + rng.normal(size=(B, K, 128)).astype(np.float32) * noise
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    return jnp.asarray(d0), jnp.asarray(d1), perm
+
+
+def test_kernel_matches_xla_reference():
+    B, K = 2, 384  # non-multiple of block sizes exercises padding
+    d0, d1, _ = _descriptors(0, B, K)
+    v0 = jnp.ones((B, K), bool).at[:, -5:].set(False)
+    v1 = jnp.ones((B, K), bool).at[:, :3].set(False)
+    m1p, m2p, nnp = two_nearest_neighbors_batched(
+        d0, d1, v0, v1, interpret=True
+    )
+
+    def one(dd0, dd1, vv0, vv1):
+        d = pairwise_sq_dists(dd1, dd0)
+        d = jnp.where(vv0[None, :], d, jnp.inf)
+        d = jnp.where(vv1[:, None], d, jnp.inf)
+        return _two_smallest(d)
+
+    m1x, m2x, nnx = jax.vmap(one)(d0, d1, v0, v1)
+    valid = np.asarray(v1)
+    np.testing.assert_allclose(
+        np.asarray(m1p)[valid], np.asarray(m1x)[valid], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2p)[valid], np.asarray(m2x)[valid], atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(nnp)[valid], np.asarray(nnx)[valid])
+
+
+def test_nn_to_index_pairs_dedupes():
+    nn = jnp.asarray([3, 3, 7, 1, 7, 2], jnp.int32)
+    accept = jnp.asarray([True, True, True, False, True, True])
+    i0, i1, valid = nn_to_index_pairs(nn, accept, 8, 6)
+    got = {(int(a), int(b)) for a, b, v in zip(i0, i1, valid) if v}
+    # one query per train index; first query (by train order) wins
+    assert got == {(2, 5), (3, 0), (7, 2)}
+
+
+def test_compact_matcher_end_to_end():
+    B, K = 2, 256
+    d0, d1, perm = _descriptors(1, B, K)
+    v = jnp.ones((B, K), bool)
+    i0, i1, valid = match_pairs_compact_batched(
+        d0, d1, v, v, max_matches=K, use_pallas=False
+    )
+    i0, i1, valid = map(np.asarray, (i0, i1, valid))
+    good = total = 0
+    for b in range(B):
+        for a, q, ok in zip(i0[b], i1[b], valid[b]):
+            if not ok:
+                continue
+            total += 1
+            good += perm[q] == a
+    assert total > K * 0.9 * B
+    assert good / total > 0.99

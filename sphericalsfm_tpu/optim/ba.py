@@ -158,26 +158,34 @@ def _schur_solve(
     )[:, None, :]
     Jx_w = Jx_w * free_x[:, None, None]
 
-    # --- Hessian blocks (Gauss-Newton) ---
-    # Point blocks Hpp (P, 3, 3) and rhs b_p (P, 3).
-    Hpp_obs = jnp.einsum("kdi,kdj->kij", Jx_w, Jx_w)  # (K, 3, 3)
-    bp_obs = jnp.einsum("kdi,kd->ki", Jx_w, e_w)
-    Hpp = jnp.zeros((P, 3, 3), dtype).at[p.obs_pt].add(Hpp_obs)
-    b_p = jnp.zeros((P, 3), dtype).at[p.obs_pt].add(bp_obs)
+    # --- Hessian blocks (Gauss-Newton), scatter-free ---
+    # Scatters serialize on TPU; every segment reduction below is either a
+    # gather through the per-point track table or a one-hot contraction on
+    # the MXU.
+    Tmax = p.track_obs.shape[1]
+    tmaskf = p.track_mask.astype(dtype)
+    tJx = Jx_w[p.track_obs] * tmaskf[..., None, None]    # (P, T, 2, 3)
+    tJc = Jc_w[p.track_obs] * tmaskf[..., None, None]    # (P, T, 2, 6)
+    tJf = Jf_w[p.track_obs][..., 0] * tmaskf[..., None]  # (P, T, 2)
+    te = e_w[p.track_obs] * tmaskf[..., None]            # (P, T, 2)
+    tcam = jnp.where(p.track_mask, p.obs_cam[p.track_obs], C)  # (P, T)
 
-    # Camera blocks Hcc (C, 6, 6), focal coupling, rhs.
-    Hcc_obs = jnp.einsum("kdi,kdj->kij", Jc_w, Jc_w)
-    bc_obs = jnp.einsum("kdi,kd->ki", Jc_w, e_w)
-    Hcc = jnp.zeros((C, 6, 6), dtype).at[p.obs_cam].add(Hcc_obs)
-    b_c = jnp.zeros((C, 6), dtype).at[p.obs_cam].add(bc_obs)
-    Hfc_obs = jnp.einsum("kd,kdj->kj", Jf_w[..., 0], Jc_w)  # (K, 6)
-    Hfc = jnp.zeros((C, 6), dtype).at[p.obs_cam].add(Hfc_obs)
+    # Point blocks Hpp (P, 3, 3) and rhs b_p (P, 3) via track gathers.
+    Hpp = jnp.einsum("ptdi,ptdj->pij", tJx, tJx)
+    b_p = jnp.einsum("ptdi,ptd->pi", tJx, te)
+
+    # Camera-side reductions via a one-hot (K, C) contraction (MXU).
+    oh_cam = (p.obs_cam[:, None] == jnp.arange(C)[None, :]).astype(dtype)
+    oh_cam = oh_cam * (p.obs_w > 0)[:, None]
+    Hcc = jnp.einsum("kc,kdi,kdj->cij", oh_cam, Jc_w, Jc_w)
+    b_c = jnp.einsum("kc,kdi,kd->ci", oh_cam, Jc_w, e_w)
+    Hfc = jnp.einsum("kc,kd,kdj->cj", oh_cam, Jf_w[..., 0], Jc_w)
     Hff = jnp.sum(Jf_w * Jf_w)
     b_f = jnp.sum(Jf_w[..., 0] * e_w)
 
-    # Camera-point coupling per observation: U (K, 6, 3), focal-point (K, 3).
-    U = jnp.einsum("kdi,kdj->kij", Jc_w, Jx_w)
-    F = jnp.einsum("kd,kdj->kj", Jf_w[..., 0], Jx_w)
+    # Camera-point coupling per track slot: U (P, T, 6, 3), focal-pt (P, T, 3).
+    tU = jnp.einsum("ptdi,ptdj->ptij", tJc, tJx)
+    tF_slot = jnp.einsum("ptd,ptdj->ptj", tJf, tJx)
 
     # --- damping (LM): add lam·diag(H) to each diagonal ---
     Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
@@ -190,41 +198,55 @@ def _schur_solve(
         (jnp.sum(p.track_mask, axis=-1) > 0)[:, None, None], Hpp_inv, 0.0
     )
 
-    # --- assemble the reduced camera system ---
-    # Full camera parameter vector: [cams 6C, focal] → D = 6C + 1.
-    # S starts from the damped Hcc / Hff and subtracts W Hpp⁻¹ Wᵀ.
-    Tmax = p.track_obs.shape[1]
-    tU = U[p.track_obs] * p.track_mask[..., None, None]        # (P, T, 6, 3)
-    tF = F[p.track_obs] * p.track_mask[..., None]              # (P, T, 3)
-    tcam = jnp.where(p.track_mask, p.obs_cam[p.track_obs], C)  # (P, T); C = dump row
+    # --- assemble the reduced camera system, scatter-free ---
+    # S = Hcc − W Hpp⁻¹ Wᵀ factorizes through per-point camera aggregates:
+    # A[p, c, i, x] = Σ_a 1[cam(p,a)=c]·(U_a Hpp⁻¹)[i, x] and
+    # B[p, c, j, x] = Σ_b 1[cam(p,b)=c]·U_b[j, x], so the Schur term is the
+    # single MXU contraction Σ_p A·Bᵀ. The per-point camera one-hot is built
+    # in point chunks to bound memory (chunk × T × C floats).
     tU_inv = jnp.einsum("ptij,pjk->ptik", tU, Hpp_inv)         # U·Hpp⁻¹
-    tF_inv = jnp.einsum("pti,pij->ptj", tF, Hpp_inv)
-    # Focal couples through *every* observation of a point: its point-coupling
-    # block for point j is the track sum Σ_a F_a.
-    tF_sum = jnp.sum(tF, axis=1)                               # (P, 3)
+    tF_sum = jnp.sum(tF_slot, axis=1)                          # (P, 3)
+    tF_inv = jnp.einsum("pi,pij->pj", tF_sum, Hpp_inv)         # (P, 3)
 
-    S_cc = jnp.zeros((C + 1, C + 1, 6, 6), dtype)
-    S_fc = jnp.zeros((C + 1, 6), dtype)
+    chunk = max(1, min(P, 4096))
+    n_chunks = -(-P // chunk)
+    Ppad = n_chunks * chunk
 
-    def body(a, carry):
-        S_cc, S_fc, S_ff = carry
-        Ua_inv = jax.lax.dynamic_index_in_dim(tU_inv, a, axis=1, keepdims=False)
-        Fa_inv = jax.lax.dynamic_index_in_dim(tF_inv, a, axis=1, keepdims=False)
-        cam_a = jax.lax.dynamic_index_in_dim(tcam, a, axis=1, keepdims=False)
-        # blocks against every slot b (including b == a)
-        blocks = jnp.einsum("pik,ptjk->ptij", Ua_inv, tU)      # (P, T, 6, 6)
-        S_cc = S_cc.at[cam_a[:, None], tcam].add(-blocks)
-        # focal-camera coupling: F_a Hppinv U_bᵀ accumulated at column cam_b
-        fc = jnp.einsum("pk,ptjk->ptj", Fa_inv, tU)            # (P, T, 6)
-        S_fc = S_fc.at[tcam].add(-fc)
-        S_ff = S_ff - jnp.sum(Fa_inv * tF_sum)
-        return S_cc, S_fc, S_ff
+    def pad0(x):
+        return jnp.zeros((Ppad,) + x.shape[1:], x.dtype).at[:P].set(x)
 
-    S_cc, S_fc, S_ff = jax.lax.fori_loop(
-        0, Tmax, body, (S_cc, S_fc, jnp.zeros((), dtype))
+    tU_inv_c = pad0(tU_inv).reshape(n_chunks, chunk, Tmax, 6, 3)
+    tU_c = pad0(tU).reshape(n_chunks, chunk, Tmax, 6, 3)
+    tcam_c = pad0(jnp.where(p.track_mask, tcam, C)).reshape(n_chunks, chunk, Tmax)
+    tF_inv_c = pad0(tF_inv).reshape(n_chunks, chunk, 3)
+    tF_sum_c = pad0(tF_sum).reshape(n_chunks, chunk, 3)
+    b_p_c = pad0(b_p).reshape(n_chunks, chunk, 3)
+
+    def chunk_body(carry, xs):
+        S_cc, S_fc, S_ff, rc_red, rf_red = carry
+        tUi, tUo, tc, tFi, tFs, bp = xs
+        oh = (tc[..., None] == jnp.arange(C)[None, None, :]).astype(dtype)
+        A = jnp.einsum("ptc,ptix->pcix", oh, tUi)   # (chunk, C, 6, 3)
+        B = jnp.einsum("ptc,ptjx->pcjx", oh, tUo)
+        S_cc = S_cc - jnp.einsum("pcix,pejx->ceij", A, B)
+        S_fc = S_fc - jnp.einsum("px,pejx->ej", tFi, B)
+        S_ff = S_ff - jnp.sum(tFi * tFs)
+        rc_red = rc_red + jnp.einsum("pcix,px->ci", A, bp)
+        rf_red = rf_red + jnp.sum(tFi * bp)
+        return (S_cc, S_fc, S_ff, rc_red, rf_red), None
+
+    init = (
+        jnp.zeros((C, C, 6, 6), dtype),
+        jnp.zeros((C, 6), dtype),
+        jnp.zeros((), dtype),
+        jnp.zeros((C, 6), dtype),
+        jnp.zeros((), dtype),
     )
-    S_cc = S_cc[:C, :C]
-    S_fc = S_fc[:C]
+    (S_cc, S_fc, S_ff, rc_red, rf_red), _ = jax.lax.scan(
+        chunk_body, init,
+        (tU_inv_c, tU_c, tcam_c, tF_inv_c, tF_sum_c, b_p_c),
+    )
+
     # add the (damped) non-reduced parts
     diagC = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-12)
     Hcc_d = Hcc + jnp.eye(6, dtype=dtype) * (lam * diagC)[..., None, :] * jnp.eye(
@@ -235,11 +257,8 @@ def _schur_solve(
     S_ff = S_ff + Hff * (1.0 + lam) + 1e-12
 
     # reduced rhs
-    r_c = b_c - (
-        jnp.zeros((C + 1, 6), dtype)
-        .at[tcam].add(jnp.einsum("ptik,pk->pti", tU_inv, b_p))[:C]
-    )
-    r_f = b_f - jnp.sum(jnp.einsum("ptk,pk->pt", tF_inv, b_p) * p.track_mask)
+    r_c = b_c - rc_red
+    r_f = b_f - rf_red
 
     # --- dense solve of the (6C+1) system with Jacobi equilibration ---
     D = 6 * C + 1
@@ -264,11 +283,12 @@ def _schur_solve(
     d_f = dx[6 * C]
 
     # --- back-substitute points: dx_p = Hpp⁻¹ (−b_p − Wᵀ dx_c − F d_f) ---
-    dc_per_obs = d_cam[p.obs_cam]  # (K, 6)
-    Wt_dx = jnp.zeros((P, 3), dtype).at[p.obs_pt].add(
-        jnp.einsum("kij,ki->kj", U, dc_per_obs)
-    )
-    Ft_dx = jnp.zeros((P, 3), dtype).at[p.obs_pt].add(F * d_f)
+    # Gather-based: Σ_a U_aᵀ dx_c[cam(p, a)] through the track table (the
+    # dump column C reads a zero row).
+    d_cam_pad = jnp.concatenate([d_cam, jnp.zeros((1, 6), dtype)], axis=0)
+    dc_track = d_cam_pad[tcam]  # (P, T, 6)
+    Wt_dx = jnp.einsum("ptij,pti->pj", tU, dc_track)
+    Ft_dx = tF_sum * d_f
     d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
     return d_f, d_cam, d_pts
 

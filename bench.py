@@ -70,6 +70,55 @@ def bench_backend(device, u, v, m, keys, reps):
     return PAIRS / dt, res
 
 
+def bench_ba(device):
+    """Secondary metric: LM iterations/s of the Schur BA on a mid-size map."""
+    from sphericalsfm_tpu.optim.ba import BAProblem, bundle_adjust, build_tracks
+    from sphericalsfm_tpu.geometry.so3 import so3_exp as _exp
+
+    rng = np.random.default_rng(0)
+    C, P = 64, 8000
+    phi = np.arange(C) * 2 * np.pi / C
+    cam_r = np.stack([np.zeros(C), phi, np.zeros(C)], -1).astype(np.float32)
+    cam_t = np.tile([0, 0, -1.0], (C, 1)).astype(np.float32)
+    R = np.asarray(_exp(jnp.asarray(cam_r)))
+    dirs = rng.normal(size=(P, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = (dirs * rng.uniform(5, 9, (P, 1))).astype(np.float32)
+    px = np.einsum("cij,pj->pci", R, pts) + cam_t[None]
+    vis = (px[..., 2] > 1.0) & (np.abs(px[..., 0] / px[..., 2]) < 0.8) & (
+        np.abs(px[..., 1] / px[..., 2]) < 0.6
+    )
+    obs_pt, obs_cam = np.nonzero(vis)
+    sel = np.ones(len(obs_pt), bool)  # keep all
+    obs_pt = obs_pt[sel].astype(np.int32)
+    obs_cam = obs_cam[sel].astype(np.int32)
+    obs_uv = (
+        FOCAL * px[obs_pt, obs_cam, :2] / px[obs_pt, obs_cam, 2:]
+        + rng.normal(size=(len(obs_pt), 2)) * 0.5
+    ).astype(np.float32)
+    cnt = np.bincount(obs_pt, minlength=P)
+    w = (cnt[obs_pt] >= 3).astype(np.float32)
+    track_obs, track_mask = build_tracks(obs_pt, P, max_track=16)
+    track_mask = track_mask & (w[track_obs] > 0)
+    prob = BAProblem(
+        jnp.float32(FOCAL), jnp.asarray(cam_t),
+        jnp.asarray(cam_r + rng.normal(size=cam_r.shape).astype(np.float32) * 0.003),
+        jnp.asarray(pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05),
+        jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uv),
+        jnp.asarray(w), jnp.asarray(track_obs), jnp.asarray(track_mask),
+        jnp.asarray(True), jnp.asarray(np.eye(1, C, 0, dtype=bool)[0]),
+        jnp.ones(C, bool), jnp.zeros(P, bool),
+    )
+    with jax.default_device(device):
+        res = bundle_adjust(prob, max_iters=20, solve_dtype_name="float32")
+        jax.block_until_ready(res.points)
+        t0 = time.perf_counter()
+        res = bundle_adjust(prob, max_iters=20, solve_dtype_name="float32")
+        jax.block_until_ready(res.points)
+        dt = time.perf_counter() - t0
+    return int(res.iterations) / dt, len(obs_pt)
+
+
 def main():
     u, v, m, R_gt, keys = make_data()
     accel = jax.devices()[0]
@@ -77,6 +126,7 @@ def main():
 
     tpu_pairs_per_s, res = bench_backend(accel, u, v, m, keys, reps=10)
     cpu_pairs_per_s, _ = bench_backend(cpu, u, v, m, keys, reps=2)
+    ba_iters_per_s, ba_obs = bench_ba(accel)
 
     with jax.default_device(cpu):
         errs = np.asarray(
@@ -91,6 +141,8 @@ def main():
         "baseline": f"same workload, host CPU backend: {cpu_pairs_per_s:.2f} pairs/s",
         "device": str(accel),
         "median_rot_err_deg": round(float(np.median(errs)), 4),
+        "ba_lm_iters_per_s": round(ba_iters_per_s, 2),
+        "ba_workload": f"{ba_obs} obs, 64 cams, 8000 pts, f32 Schur",
     }))
 
 

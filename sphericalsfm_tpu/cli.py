@@ -64,6 +64,7 @@ def cmd_uncalibrated(args):
 
     cfg = _config_from_args(args)
     cfg.general_ba = args.generalba
+    cfg.five_point = args.fivepoint
     m, focal = run_uncalibrated(
         args.images, args.output, cfg, colmap_db=args.colmap
     )
@@ -173,6 +174,8 @@ def main(argv=None):
     p.add_argument("--images", default=None)
     p.add_argument("--colmap", default=None, help="COLMAP database path")
     p.add_argument("--generalba", action="store_true")
+    p.add_argument("--fivepoint", action="store_true",
+                   help="use the general 5-pt pairwise estimator")
     _add_common(p)
     p.set_defaults(fn=cmd_uncalibrated)
 

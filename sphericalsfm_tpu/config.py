@@ -65,6 +65,8 @@ class BAConfig:
 class PipelineConfig:
     inward: bool = False
     general_ba: bool = False           # unfix translations at the end
+    five_point: bool = False           # -fivepoint: general 5-pt pairwise
+    profile_dir: str | None = None     # jax.profiler trace output
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     ransac: RansacConfig = field(default_factory=RansacConfig)
     graph: GraphConfig = field(default_factory=GraphConfig)

@@ -40,7 +40,7 @@ from ..optim.pose_graph import (
     rotations_at_focal,
 )
 from .frontend import FrameFeatures, detect_features, load_frames, match_pairs
-from .pairwise import all_pairs, estimate_pairwise
+from .pairwise import all_pairs, estimate_pairwise, estimate_pairwise_five_point
 from .sfm import SfMMap
 from .tracks import (
     build_feature_tracks,
@@ -165,6 +165,8 @@ def run_calibrated(
     os.makedirs(output_dir, exist_ok=True)
     log = StageLogger(output_dir)
     key = jax.random.PRNGKey(0)
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
 
     fr = frontend or run_frontend(
         video, cfg, log, gray, color,
@@ -239,6 +241,8 @@ def run_calibrated(
             **{f"ba4_{k}": v for k, v in stats4.items()})
 
     _write_outputs(m, output_dir, fr)
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
     return m
 
 
@@ -309,15 +313,26 @@ def run_uncalibrated(
                             jnp.asarray(W / 2.0), jnp.asarray(H / 2.0))
 
     log.start("estimate_pairwise")
-    pw = estimate_pairwise(
-        key, fr.feats.xy, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1, fr.mmask,
-        intr_guess,
-        inlier_threshold_px=cfg.ransac.inlier_threshold_px,
-        min_num_inliers=cfg.ransac.min_num_inliers,
-        inward=cfg.inward,
-        num_hypotheses=cfg.ransac.num_hypotheses,
-        chunk_size=cfg.ransac.pair_chunk,
-    )
+    if cfg.five_point:
+        # -fivepoint: general essential pairwise (reference
+        # run_spherical_sfm_uncalib.cpp -fivepoint flag).
+        pw = estimate_pairwise_five_point(
+            key, fr.feats.xy, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1,
+            fr.mmask, intr_guess,
+            inlier_threshold_px=cfg.ransac.inlier_threshold_px,
+            min_num_inliers=cfg.ransac.min_num_inliers,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+        )
+    else:
+        pw = estimate_pairwise(
+            key, fr.feats.xy, fr.pair_i, fr.pair_j, fr.idx0, fr.idx1, fr.mmask,
+            intr_guess,
+            inlier_threshold_px=cfg.ransac.inlier_threshold_px,
+            min_num_inliers=cfg.ransac.min_num_inliers,
+            inward=cfg.inward,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+            chunk_size=cfg.ransac.pair_chunk,
+        )
     keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
     log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)
 
@@ -329,9 +344,16 @@ def run_uncalibrated(
 
     log.start("focal_search")
     ew = jnp.asarray(keep.astype(float))
+    # The search conjugates *spherical* essential matrices rebuilt from the
+    # estimated relative rotations (reference find_best_focal_length_random,
+    # spherical_sfm_tools.cpp:1429-1433) — not the raw RANSAC E (which is
+    # general in five-point mode).
+    from ..geometry.essential import make_spherical_essential
+
+    E_search = make_spherical_essential(so3_exp(jnp.asarray(pw.r)), cfg.inward)
     best_focal, costs, focals = find_best_focal_random(
         jax.random.fold_in(key, 10), focal_guess,
-        jnp.asarray(pw.E), jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
+        E_search, jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
         ew, F,
         min_focal=focal_guess * cfg.focal.min_focal_factor,
         max_focal=focal_guess * cfg.focal.max_focal_factor,
@@ -339,7 +361,7 @@ def run_uncalibrated(
         inward=cfg.inward,
     )
     # Joint rotations + focal refinement at the best hypothesis.
-    r_best = rotations_at_focal(jnp.asarray(pw.E), best_focal / focal_guess,
+    r_best = rotations_at_focal(E_search, best_focal / focal_guess,
                                 cfg.inward)
     g = RotationGraph(jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
                       r_best, ew)

@@ -124,3 +124,62 @@ def all_pairs(num_frames: int):
     """All ordered pairs (i < j), like the reference's exhaustive sweep."""
     pi, pj = np.triu_indices(num_frames, k=1)
     return pi.astype(np.int32), pj.astype(np.int32)
+
+
+def estimate_pairwise_five_point(
+    key: jax.Array,
+    points: np.ndarray,
+    pair_i: np.ndarray,
+    pair_j: np.ndarray,
+    idx0: np.ndarray,
+    idx1: np.ndarray,
+    match_mask: np.ndarray,
+    intrinsics: Intrinsics,
+    inlier_threshold_px: float = 2.0,
+    min_num_inliers: int = 100,
+    num_hypotheses: int = 256,
+    chunk_size: int = 16,
+) -> PairwiseResult:
+    """General (5-pt) pairwise relative pose — the reference's
+    estimate_pairwise_five_point (spherical_sfm_tools.cpp:433-573): Stewenius
+    RANSAC + cheirality decomposition instead of the spherical solver. Used
+    by the uncalibrated pipeline's five-point mode. CPU-backend path (the
+    5-pt solver needs a general eigendecomposition)."""
+    from ..ransac.general_essential import general_essential_ransac
+
+    P, Nmax = idx0.shape
+    focal = float(np.asarray(intrinsics.focal))
+    sq_thresh = (inlier_threshold_px / focal) ** 2
+
+    pts = jnp.asarray(points)
+    uv0 = pts[pair_i[:, None], idx0]
+    uv1 = pts[pair_j[:, None], idx1]
+    u = pixels_to_rays(uv0, intrinsics)
+    v = pixels_to_rays(uv1, intrinsics)
+    mask = jnp.asarray(match_mask)
+
+    run = jax.vmap(
+        lambda k, uu, vv, mm: general_essential_ransac(
+            k, uu, vv, mm, sq_thresh=jnp.asarray(sq_thresh),
+            num_hypotheses=num_hypotheses,
+        )
+    )
+    keys = jax.random.split(key, P)
+    rs, Es, ninl, inl = [], [], [], []
+    for s in range(0, P, chunk_size):
+        e = min(s + chunk_size, P)
+        res = run(keys[s:e], u[s:e], v[s:e], mask[s:e])
+        rs.append(np.asarray(res.r))
+        Es.append(np.asarray(res.E))
+        ninl.append(np.asarray(res.num_inliers))
+        inl.append(np.asarray(res.inlier_mask))
+    r = np.concatenate(rs)
+    E = np.concatenate(Es)
+    num_inliers = np.concatenate(ninl)
+    inlier_mask = np.concatenate(inl)
+    enough = match_mask.sum(axis=1) >= min_num_inliers
+    keep = (num_inliers > min_num_inliers) & enough
+    loops = int(np.sum(keep & (pair_i + 1 != pair_j)))
+    return PairwiseResult(r=r, E=E, num_inliers=num_inliers,
+                          inlier_mask=inlier_mask, keep=keep,
+                          loop_closure_count=loops)

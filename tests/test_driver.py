@@ -132,3 +132,24 @@ def test_uncalibrated_driver_recovers_focal(tmp_path_factory):
 
     assert os.path.exists(os.path.join(out, "calib.txt"))
     assert os.path.exists(os.path.join(out, "sparse/final/cameras.txt"))
+
+
+def test_uncalibrated_five_point_mode(tmp_path_factory):
+    """-fivepoint: general 5-pt pairwise estimation through the driver."""
+    from sphericalsfm_tpu.config import PipelineConfig
+    from sphericalsfm_tpu.pipeline.driver import run_uncalibrated
+
+    cam_r_gt, cam_t_gt, gray, color = render_capture(num_frames=12, arc=1.0)
+    out = str(tmp_path_factory.mktemp("sfm_5pt_out"))
+    cfg = PipelineConfig()
+    cfg.five_point = True
+    cfg.frontend.max_keypoints = 384
+    cfg.frontend.max_matches_per_pair = 256
+    cfg.ransac.num_hypotheses = 128
+    cfg.ransac.min_num_inliers = 25
+    cfg.focal.num_trials = 128
+    cfg.ba.max_iters = 40
+
+    m, focal = run_uncalibrated(None, out, cfg, gray=gray, color=color)
+    # five-point relative rotations feed the same focal search; looser gate
+    assert abs(focal - FOCAL) / FOCAL < 0.15, focal

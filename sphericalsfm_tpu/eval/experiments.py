@@ -158,6 +158,48 @@ def ransac_experiment(
     return rows[0]
 
 
+def relpose_comparison(
+    out_csv: str,
+    angles_deg=(0.5, 1.0, 2.0, 5.0, 10.0),
+    noises_px=(0.0, 1.0, 2.0),
+    trials: int = 1000,
+    seed: int = 5,
+):
+    """Spherical 3-pt vs general 5-pt accuracy over an angle × noise grid —
+    the reference's test_spherical_relpose comparison benchmark
+    (examples/test_spherical_relpose.cpp:596-631), as one CSV.
+
+    The 5-pt path needs a CPU backend (general eig)."""
+    from ..solvers.five_point import solve_essential_5pt
+
+    solve3 = jax.jit(solve_spherical_3pt)
+    solve5 = jax.jit(solve_essential_5pt)
+    rows = []
+    for a_i, angle in enumerate(angles_deg):
+        for n_i, noise in enumerate(noises_px):
+            prob = make_random_problems(
+                jax.random.PRNGKey(seed + 100 * a_i + n_i), batch=trials,
+                num_corr=5, rotation_deg=angle, point_noise=noise / FOCAL,
+            )
+            ok = np.asarray(jnp.all(prob.valid, -1))
+
+            Es3, v3 = solve3(prob.u[:, :3], prob.v[:, :3])
+            f3 = jnp.where(v3, frobenius_error(Es3, prob.E[:, None]), jnp.inf)
+            med3 = float(np.median(np.asarray(jnp.min(f3, -1))[ok]))
+
+            Es5, v5 = solve5(prob.u, prob.v)
+            f5 = jnp.where(v5, frobenius_error(Es5, prob.E[:, None]), jnp.inf)
+            med5 = float(np.median(np.asarray(jnp.min(f5, -1))[ok]))
+
+            rows.append({
+                "rotation_deg": angle, "noise_px": noise,
+                "median_frob_spherical_3pt": med3,
+                "median_frob_general_5pt": med5,
+            })
+    _write_csv(out_csv, rows)
+    return rows
+
+
 def _write_csv(path: str, rows):
     if not rows:
         return

@@ -186,3 +186,50 @@ def loop_closure_pairs(num_frames: int, num_begin: int, num_end: int):
             pi.append(i)
             pj.append(j)
     return np.asarray(pi, np.int32), np.asarray(pj, np.int32)
+
+
+def make_loop_closures(
+    key,
+    feats: FrameFeatures,
+    intrinsics,
+    num_begin: int = 30,
+    num_end: int = 30,
+    inlier_threshold_px: float = 2.0,
+    min_num_inliers: int = 100,
+    inward: bool = False,
+    best_only: bool = False,
+    cfg: FrontendConfig = FrontendConfig(),
+):
+    """Search begin/end frame windows for loop closures (reference
+    make_loop_closures, spherical_sfm_tools.cpp:602-734): match the candidate
+    pairs, run spherical RANSAC, keep every pair above the inlier minimum or
+    only the single best (`best_only`).
+
+    Returns (pair_i, pair_j, r, E, inlier_mask, idx0, idx1, mmask) for the
+    kept pairs.
+    """
+    from .pairwise import estimate_pairwise
+
+    F = feats.valid.shape[0]
+    pi, pj = loop_closure_pairs(F, num_begin, num_end)
+    if len(pi) == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, np.zeros((0, 3)), np.zeros((0, 3, 3)), \
+            np.zeros((0, 0), bool), z.reshape(0, 0), z.reshape(0, 0), \
+            np.zeros((0, 0), bool)
+    idx0, idx1, mmask = match_pairs(feats, pi, pj, cfg)
+    pw = estimate_pairwise(
+        key, feats.xy, pi, pj, idx0, idx1, mmask, intrinsics,
+        inlier_threshold_px=inlier_threshold_px,
+        min_num_inliers=min_num_inliers, inward=inward,
+    )
+    keep = pw.keep
+    if best_only and keep.any():
+        best = np.argmax(np.where(keep, pw.num_inliers, -1))
+        keep = np.zeros_like(keep)
+        keep[best] = True
+    sel = np.nonzero(keep)[0]
+    return (
+        pi[sel], pj[sel], pw.r[sel], pw.E[sel], pw.inlier_mask[sel],
+        idx0[sel], idx1[sel], mmask[sel],
+    )

@@ -204,3 +204,45 @@ def test_colmap_database_roundtrip(tmp_path):
     assert back.intrinsics == db.intrinsics
     np.testing.assert_allclose(back.keypoints[0], db.keypoints[0], atol=1e-6)
     np.testing.assert_array_equal(back.matches[(0, 1)], db.matches[(0, 1)])
+
+
+def test_make_loop_closures():
+    """T5: begin/end-window loop-closure search with best_only."""
+    from tests.test_driver import render_capture, FOCAL as F2, W as W2, H as H2
+    from sphericalsfm_tpu.config import FrontendConfig
+    from sphericalsfm_tpu.pipeline.frontend import detect_features, make_loop_closures
+
+    cam_r_gt, cam_t_gt, gray, color = render_capture(num_frames=12, arc=1.0)
+    cfg = FrontendConfig(max_keypoints=384, max_matches_per_pair=256)
+    feats = detect_features(gray, color, cfg)
+    intr = Intrinsics(jnp.asarray(F2), jnp.asarray(W2 / 2.0), jnp.asarray(H2 / 2.0))
+    pi, pj, r, E, inl, i0, i1, mm = make_loop_closures(
+        jax.random.PRNGKey(0), feats, intr, num_begin=3, num_end=3,
+        min_num_inliers=20, cfg=cfg,
+    )
+    assert len(pi) >= 1
+    # loop closures connect the start to the end of the circle
+    assert (pj - pi).min() >= 2
+    pi_b, pj_b, *_ = make_loop_closures(
+        jax.random.PRNGKey(0), feats, intr, num_begin=3, num_end=3,
+        min_num_inliers=20, best_only=True, cfg=cfg,
+    )
+    assert len(pi_b) == 1
+
+
+def test_relpose_comparison_csv(tmp_path):
+    from sphericalsfm_tpu.eval.experiments import relpose_comparison
+
+    rows = relpose_comparison(
+        str(tmp_path / "cmp.csv"), angles_deg=(2.0,), noises_px=(0.0,),
+        trials=64,
+    )
+    # The comparison demonstrates the papers' point: on spherically
+    # constrained motion the 3-pt solver is exact while the general 5-pt
+    # degrades (small constrained baseline ⇒ near-degenerate for 5-pt).
+    assert rows[0]["median_frob_spherical_3pt"] < 1e-8
+    assert rows[0]["median_frob_general_5pt"] < 1e-2
+    assert (
+        rows[0]["median_frob_spherical_3pt"]
+        < rows[0]["median_frob_general_5pt"]
+    )

@@ -123,6 +123,39 @@ def cmd_nerf_export(args):
     print(json.dumps({"written": args.out}))
 
 
+def cmd_panorama(args):
+    """Stereo panorama synthesis from poses.txt + the source video
+    (reference make_stereo_panorama, D4)."""
+    from .pipeline.frontend import load_frames
+    from .pipeline.stereo_panorama import make_stereo_panoramas
+
+    with open(args.intrinsics) as f:
+        focal, cx, cy = (float(x) for x in f.read().split()[:3])
+    gray, color = load_frames(args.images)
+    make_stereo_panoramas(
+        args.poses, color, (focal, cx, cy), args.output,
+        pano_width=args.panowidth, nphi=args.nphi,
+        is_loop=not args.noloop,
+    )
+    print(json.dumps({"output": args.output}))
+
+
+def cmd_circle_views(args):
+    """Synthetic whole views on the synthesis circle (reference
+    make_circle_views, D4's second mode)."""
+    from .pipeline.frontend import load_frames
+    from .pipeline.stereo_panorama import make_circle_views
+
+    with open(args.intrinsics) as f:
+        focal, cx, cy = (float(x) for x in f.read().split()[:3])
+    gray, color = load_frames(args.images)
+    n = make_circle_views(
+        args.poses, color, (focal, cx, cy), args.output,
+        num_views=args.numviews, is_loop=not args.noloop,
+    )
+    print(json.dumps({"views_written": n}))
+
+
 def cmd_solver_bench(args):
     """Synthetic minimal-solver accuracy/timing sweep (reference
     test_random_problems + run_noise/stability/timings experiments)."""
@@ -201,6 +234,25 @@ def main(argv=None):
     p.add_argument("--height", type=int, required=True)
     p.add_argument("--pattern", default="images/%06d.png")
     p.set_defaults(fn=cmd_nerf_export)
+
+    p = sub.add_parser("panorama", help="stereo panorama synthesis")
+    p.add_argument("--images", required=True)
+    p.add_argument("--poses", required=True, help="poses.txt from a run")
+    p.add_argument("--intrinsics", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--panowidth", type=int, default=2048)
+    p.add_argument("--nphi", type=int, default=9)
+    p.add_argument("--noloop", action="store_true")
+    p.set_defaults(fn=cmd_panorama)
+
+    p = sub.add_parser("circle-views", help="synthetic circle views")
+    p.add_argument("--images", required=True)
+    p.add_argument("--poses", required=True)
+    p.add_argument("--intrinsics", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--numviews", type=int, default=64)
+    p.add_argument("--noloop", action="store_true")
+    p.set_defaults(fn=cmd_circle_views)
 
     p = sub.add_parser("solver-bench", help="synthetic solver sweep")
     p.add_argument("--trials", type=int, default=1000)

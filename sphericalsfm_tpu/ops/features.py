@@ -91,6 +91,35 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _bilinear_layer(stack: jnp.ndarray, layer, x, y) -> jnp.ndarray:
+    """Bilinear sample of layer `layer` of a (S, H, W) stack.
+
+    The traced layer index folds into the row coordinate of the flattened
+    (S·H, W) image — a per-sample gather. Indexing `stack[layer]` directly
+    under vmap would materialize one full image per keypoint (a
+    keypoints × S × H × W broadcast that OOMs real frame sizes).
+    """
+    S, H, W = stack.shape
+    flat = stack.reshape(S * H, W)
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    row = layer * H + y0
+    v00 = flat[row, x0]
+    v01 = flat[row, x0 + 1]
+    v10 = flat[row + 1, x0]
+    v11 = flat[row + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
 def _dog_extrema(dogs: jnp.ndarray, contrast_thresh: float):
     """3×3×3 extrema of a DoG stack (S, H, W) -> response map (S−2, H, W).
 
@@ -247,85 +276,93 @@ def detect_and_describe(
     layer_k = layer[sel]
 
     # --- orientation + descriptor from the matching octave image -----------
-    def per_octave_gradients(o):
+    # All octave gradient stacks pack into ONE zero-padded array and the
+    # octave folds into the gather's layer index. (A per-keypoint
+    # `lax.switch` over octave branches is a trap: its vmap rule select_n's
+    # each branch's captured stack per keypoint — a keypoints × S × H × W
+    # broadcast that OOMs at real frame sizes.)
+    S3 = _NUM_SCALES + 3
+    gx_pack = jnp.zeros((num_octaves * S3, H, W), jnp.float32)
+    gy_pack = jnp.zeros((num_octaves * S3, H, W), jnp.float32)
+    for o in range(num_octaves):
         g = octave_images[o]  # (S+3, h, w)
         gx = 0.5 * (jnp.roll(g, -1, -1) - jnp.roll(g, 1, -1))
         gy = 0.5 * (jnp.roll(g, -1, -2) - jnp.roll(g, 1, -2))
-        return gx, gy
-
-    grads = [per_octave_gradients(o) for o in range(num_octaves)]
+        h_o, w_o = g.shape[1], g.shape[2]
+        gx_pack = gx_pack.at[o * S3 : o * S3 + S3, :h_o, :w_o].set(gx)
+        gy_pack = gy_pack.at[o * S3 : o * S3 + S3, :h_o, :w_o].set(gy)
 
     def keypoint_frame(i):
         """Orientation and descriptor of one keypoint (vmapped)."""
-        o = octv_k[i]
+        o = jnp.clip(octv_k[i], 0, num_octaves - 1)
         lay = layer_k[i]
+        layer_idx = o * S3 + lay + 1
         x = xy[i, 0]
         y = xy[i, 1]
         sig = scale_k[i]
+        inv = jnp.exp2(-o.astype(jnp.float32))
+        xo = x * inv
+        yo = y * inv
+        sig_o = sig * inv
+        # true octave image bounds for clamping inside the padded canvas
+        w_lim = W * inv - 1.001
+        h_lim = H * inv - 1.001
 
-        def for_octave(oo):
-            gx_all, gy_all = grads[oo]
-            gx = gx_all[lay + 1]
-            gy = gy_all[lay + 1]
-            inv = 1.0 / (2.0**oo)
-            xo = x * inv
-            yo = y * inv
-            sig_o = sig * inv
+        def sample(px, py):
+            px = jnp.clip(px, 0.0, w_lim)
+            py = jnp.clip(py, 0.0, h_lim)
+            return (
+                _bilinear_layer(gx_pack, layer_idx, px, py),
+                _bilinear_layer(gy_pack, layer_idx, px, py),
+            )
 
-            # Orientation: 36-bin histogram of gradients in a Gaussian window.
-            R = 8  # window radius in scale units of the octave image
-            dy, dx = jnp.meshgrid(
-                jnp.arange(-R, R + 1, dtype=jnp.float32),
-                jnp.arange(-R, R + 1, dtype=jnp.float32),
-                indexing="ij",
-            )
-            px = xo + dx * sig_o / 1.5
-            py = yo + dy * sig_o / 1.5
-            gxs = _bilinear(gx, px, py)
-            gys = _bilinear(gy, px, py)
-            mag = jnp.hypot(gxs, gys)
-            ang = jnp.arctan2(gys, gxs)
-            wgt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * (0.5 * R) ** 2))
-            bins = jnp.floor(
-                (ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS
-            ).astype(jnp.int32) % _ORI_BINS
-            hist = jnp.zeros((_ORI_BINS,), jnp.float32).at[bins.reshape(-1)].add(
-                (mag * wgt).reshape(-1)
-            )
-            # smooth the histogram circularly
-            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-            theta = (
-                (jnp.argmax(hist).astype(jnp.float32) + 0.5) / _ORI_BINS
-            ) * 2 * jnp.pi - jnp.pi
+        # Orientation: 36-bin histogram of gradients in a Gaussian window.
+        R = 8  # window radius in scale units of the octave image
+        dy, dx = jnp.meshgrid(
+            jnp.arange(-R, R + 1, dtype=jnp.float32),
+            jnp.arange(-R, R + 1, dtype=jnp.float32),
+            indexing="ij",
+        )
+        gxs, gys = sample(xo + dx * sig_o / 1.5, yo + dy * sig_o / 1.5)
+        mag = jnp.hypot(gxs, gys)
+        ang = jnp.arctan2(gys, gxs)
+        wgt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * (0.5 * R) ** 2))
+        bins = jnp.floor(
+            (ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS
+        ).astype(jnp.int32) % _ORI_BINS
+        hist = jnp.zeros((_ORI_BINS,), jnp.float32).at[bins.reshape(-1)].add(
+            (mag * wgt).reshape(-1)
+        )
+        # smooth the histogram circularly
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        theta = (
+            (jnp.argmax(hist).astype(jnp.float32) + 0.5) / _ORI_BINS
+        ) * 2 * jnp.pi - jnp.pi
 
-            # Descriptor: 16×16 samples in the rotated frame → 4×4×8.
-            n = _DESC_PATCH
-            dyp, dxp = jnp.meshgrid(
-                (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
-                (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
-                indexing="ij",
-            )
-            ct, st = jnp.cos(theta), jnp.sin(theta)
-            sx = xo + (ct * dxp - st * dyp) * sig_o * 0.4
-            sy = yo + (st * dxp + ct * dyp) * sig_o * 0.4
-            gxs2 = _bilinear(gx, sx, sy)
-            gys2 = _bilinear(gy, sx, sy)
-            mag2 = jnp.hypot(gxs2, gys2)
-            ang2 = jnp.arctan2(gys2, gxs2) - theta
-            wgt2 = jnp.exp(-(dxp * dxp + dyp * dyp) / (2.0 * (n / 2) ** 2))
-            cell_y = jnp.clip((dyp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
-            cell_x = jnp.clip((dxp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
-            obin = jnp.floor(
-                ((ang2 + 3 * jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * 8
-            ).astype(jnp.int32) % 8
-            flat_bin = (cell_y * 4 + cell_x) * 8 + obin
-            desc = jnp.zeros((128,), jnp.float32).at[flat_bin.reshape(-1)].add(
-                (mag2 * wgt2).reshape(-1)
-            )
-            return theta, desc
-
-        branches = [partial(for_octave, oo) for oo in range(num_octaves)]
-        theta, desc = jax.lax.switch(jnp.clip(o, 0, num_octaves - 1), branches)
+        # Descriptor: 16×16 samples in the rotated frame → 4×4×8.
+        n = _DESC_PATCH
+        dyp, dxp = jnp.meshgrid(
+            (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
+            (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
+            indexing="ij",
+        )
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        gxs2, gys2 = sample(
+            xo + (ct * dxp - st * dyp) * sig_o * 0.4,
+            yo + (st * dxp + ct * dyp) * sig_o * 0.4,
+        )
+        mag2 = jnp.hypot(gxs2, gys2)
+        ang2 = jnp.arctan2(gys2, gxs2) - theta
+        wgt2 = jnp.exp(-(dxp * dxp + dyp * dyp) / (2.0 * (n / 2) ** 2))
+        cell_y = jnp.clip((dyp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
+        cell_x = jnp.clip((dxp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
+        obin = jnp.floor(
+            ((ang2 + 3 * jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * 8
+        ).astype(jnp.int32) % 8
+        flat_bin = (cell_y * 4 + cell_x) * 8 + obin
+        desc = jnp.zeros((128,), jnp.float32).at[flat_bin.reshape(-1)].add(
+            (mag2 * wgt2).reshape(-1)
+        )
         return theta, desc
 
     thetas, descs = jax.vmap(keypoint_frame)(jnp.arange(max_keypoints))

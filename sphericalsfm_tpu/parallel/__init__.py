@@ -2,3 +2,4 @@ from .sharded import (
     make_mesh, pad_to_multiple, sharded_pairwise_ransac,
     shard_ba_problem, distributed_bundle_adjust,
 )
+from .ring_matching import ring_exhaustive_match, ring_match_pairs

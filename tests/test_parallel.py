@@ -71,3 +71,29 @@ def test_distributed_ba_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(res_dist.cam_r), np.asarray(res_single.cam_r), atol=1e-8
     )
+
+
+def test_ring_matching_equals_dense():
+    """Ring-sharded exhaustive matching must reproduce the single-device
+    matcher over every frame pair."""
+    from sphericalsfm_tpu.ops.matching import match_pairs_compact_batched
+    from sphericalsfm_tpu.parallel.ring_matching import ring_match_pairs
+
+    rng = np.random.default_rng(0)
+    F, K, D = 8, 64, 128
+    desc = rng.normal(size=(F, K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    valid = np.ones((F, K), bool)
+    valid[:, -4:] = False
+
+    mesh = make_mesh(8)
+    pi, pj, i0, i1, mk = ring_match_pairs(mesh, desc, valid, max_matches=K)
+
+    dj = jnp.asarray(desc)
+    vj = jnp.asarray(valid)
+    i0_ref, i1_ref, mk_ref = match_pairs_compact_batched(
+        dj[pi], dj[pj], vj[pi], vj[pj], K, use_pallas=False
+    )
+    np.testing.assert_array_equal(mk, np.asarray(mk_ref))
+    np.testing.assert_array_equal(i0[mk], np.asarray(i0_ref)[np.asarray(mk_ref)])
+    np.testing.assert_array_equal(i1[mk], np.asarray(i1_ref)[np.asarray(mk_ref)])

@@ -275,6 +275,44 @@ def detect_and_describe(
     octv_k = octv[sel]
     layer_k = layer[sel]
 
+    # --- subpixel refinement: quadratic fit of the spatial DoG surface -----
+    # (Lowe's 3D fit restricted to x, y: offset = −H⁻¹g of the center DoG
+    # layer, clamped to ±0.6 px.) All octave DoG stacks pack into one padded
+    # canvas like the gradients below; derivatives come from 3×3 gathers.
+    S2 = _NUM_SCALES + 2
+    dog_pack = jnp.zeros((num_octaves * S2, H, W), jnp.float32)
+    for o in range(num_octaves):
+        dgs = octave_images[o][1:] - octave_images[o][:-1]
+        h_o, w_o = dgs.shape[1], dgs.shape[2]
+        dog_pack = dog_pack.at[o * S2 : o * S2 + S2, :h_o, :w_o].set(dgs)
+
+    def refine_xy(i):
+        o = jnp.clip(octv_k[i], 0, num_octaves - 1)
+        lay_idx = o * S2 + layer_k[i] + 1
+        inv = jnp.exp2(-o.astype(jnp.float32))
+        xo = xy[i, 0] * inv
+        yo = xy[i, 1] * inv
+
+        def at(ddx, ddy):
+            return _bilinear_layer(dog_pack, lay_idx, xo + ddx, yo + ddy)
+
+        dx_ = 0.5 * (at(1.0, 0.0) - at(-1.0, 0.0))
+        dy_ = 0.5 * (at(0.0, 1.0) - at(0.0, -1.0))
+        dxx = at(1.0, 0.0) + at(-1.0, 0.0) - 2.0 * at(0.0, 0.0)
+        dyy = at(0.0, 1.0) + at(0.0, -1.0) - 2.0 * at(0.0, 0.0)
+        dxy = 0.25 * (at(1.0, 1.0) + at(-1.0, -1.0) - at(1.0, -1.0) - at(-1.0, 1.0))
+        det = dxx * dyy - dxy * dxy
+        det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        off_x = -(dyy * dx_ - dxy * dy_) / det
+        off_y = -(dxx * dy_ - dxy * dx_) / det
+        ok = (jnp.abs(off_x) < 1.5) & (jnp.abs(off_y) < 1.5)
+        off_x = jnp.where(ok, jnp.clip(off_x, -0.6, 0.6), 0.0)
+        off_y = jnp.where(ok, jnp.clip(off_y, -0.6, 0.6), 0.0)
+        return (xy[i, 0] + off_x / inv, xy[i, 1] + off_y / inv)
+
+    rx, ry = jax.vmap(refine_xy)(jnp.arange(max_keypoints))
+    xy = jnp.stack([rx, ry], axis=-1)
+
     # --- orientation + descriptor from the matching octave image -----------
     # All octave gradient stacks pack into ONE zero-padded array and the
     # octave folds into the gather's layer index. (A per-keypoint

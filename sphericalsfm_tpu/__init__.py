@@ -33,4 +33,19 @@ import jax as _jax
 if _os.environ.get("SPHERICALSFM_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the pipeline's kernels are shape-stable
+# across runs, and first-compile dominates cold CLI invocations. Opt out
+# with SPHERICALSFM_TPU_NO_COMPILE_CACHE=1.
+if _os.environ.get("SPHERICALSFM_TPU_NO_COMPILE_CACHE", "0") != "1":
+    _cache = _os.environ.get(
+        "SPHERICALSFM_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "sphericalsfm_tpu", "jax"),
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 __version__ = "0.1.0"

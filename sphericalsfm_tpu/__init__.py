@@ -35,8 +35,13 @@ if _os.environ.get("SPHERICALSFM_TPU_X64", "1") != "0":
 
 # Persistent compilation cache: the pipeline's kernels are shape-stable
 # across runs, and first-compile dominates cold CLI invocations. Opt out
-# with SPHERICALSFM_TPU_NO_COMPILE_CACHE=1.
-if _os.environ.get("SPHERICALSFM_TPU_NO_COMPILE_CACHE", "0") != "1":
+# with SPHERICALSFM_TPU_NO_COMPILE_CACHE=1. Not enabled for CPU backends:
+# XLA:CPU AOT cache entries pin host machine features and can SIGILL when
+# loaded under a different feature set.
+if (
+    _os.environ.get("SPHERICALSFM_TPU_NO_COMPILE_CACHE", "0") != "1"
+    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")
+):
     _cache = _os.environ.get(
         "SPHERICALSFM_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "sphericalsfm_tpu", "jax"),

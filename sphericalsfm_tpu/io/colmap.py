@@ -340,6 +340,10 @@ def read_database(path: str, use_two_view_geometry: bool = True) -> ColmapDataba
     try:
         rows_iter = list(cur.execute(f"SELECT pair_id, rows, cols, data FROM {table}"))
     except sqlite3.OperationalError:
+        rows_iter = []
+    if not rows_iter and table != "matches":
+        # verified two-view geometries absent (e.g. database written before
+        # geometric verification) — fall back to the raw matches table
         rows_iter = list(cur.execute("SELECT pair_id, rows, cols, data FROM matches"))
     for pair_id, r, c, blob in rows_iter:
         if r == 0 or blob is None:

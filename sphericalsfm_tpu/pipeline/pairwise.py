@@ -78,6 +78,13 @@ def estimate_pairwise(
     (spherical_sfm_tools.cpp:315).
     """
     P, Nmax = idx0.shape
+    if P == 0:
+        z3 = np.zeros((0, 3))
+        return PairwiseResult(
+            r=z3, E=np.zeros((0, 3, 3)), num_inliers=np.zeros(0, np.int64),
+            inlier_mask=np.zeros((0, Nmax), bool), keep=np.zeros(0, bool),
+            loop_closure_count=0,
+        )
     focal = float(np.asarray(intrinsics.focal))
     sq_thresh = (inlier_threshold_px / focal) ** 2
 

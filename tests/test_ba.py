@@ -145,3 +145,46 @@ def test_ba_f32_solve_path():
     K = np.count_nonzero(np.asarray(p.obs_w))
     rms = np.sqrt(2 * float(res.cost) / K / 2)
     assert rms < 0.1, rms
+
+
+def test_ba_matches_scipy_reference():
+    """Independent cross-check: our Schur LM must reach the same minimum as
+    scipy's trust-region least_squares on the identical robust problem."""
+    import scipy.optimize
+
+    from sphericalsfm_tpu.geometry.so3 import so3_exp as _exp
+
+    scene = make_scene(seed=11, C=6, P=30, noise=0.3)
+    cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w = scene
+    rng = np.random.default_rng(12)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.01
+    cam_r_pert[0] = cam_r[0]
+    pts_pert = pts + rng.normal(size=pts.shape) * 0.05
+
+    p = build_problem(cam_r_pert, cam_t, pts_pert, *scene[3:],
+                      spherical=True)
+    p = p._replace(cam_r=jnp.asarray(cam_r_pert), points=jnp.asarray(pts_pert))
+    res = bundle_adjust(p, max_iters=100)
+
+    # scipy: parameters = rotations of cams 1..C-1 + all points; same
+    # residuals with Cauchy loss (soft_l1 differs — use cauchy).
+    C, P = cam_r.shape[0], pts.shape[0]
+    sel = np.asarray(p.obs_w) > 0
+
+    def residuals(theta):
+        crs = np.concatenate([cam_r[:1], theta[: 3 * (C - 1)].reshape(C - 1, 3)])
+        X = theta[3 * (C - 1):].reshape(P, 3)
+        R = np.asarray(_exp(jnp.asarray(crs)))
+        px = np.einsum("kij,kj->ki", R[obs_cam[sel]], X[obs_pt[sel]]) + cam_t[obs_cam[sel]]
+        proj = FOCAL * px[:, :2] / px[:, 2:]
+        return (proj - obs_uv[sel]).ravel()
+
+    theta0 = np.concatenate([cam_r_pert[1:].ravel(), pts_pert.ravel()])
+    out = scipy.optimize.least_squares(
+        residuals, theta0, loss="cauchy", f_scale=1.0, method="trf",
+        max_nfev=300,
+    )
+    # scipy cost = 0.5 * sum rho(r^2) with rho=cauchy ln(1+s) — same as ours.
+    assert abs(float(res.cost) - out.cost) / max(out.cost, 1e-9) < 0.02, (
+        float(res.cost), out.cost,
+    )

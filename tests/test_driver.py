@@ -153,3 +153,87 @@ def test_uncalibrated_five_point_mode(tmp_path_factory):
     m, focal = run_uncalibrated(None, out, cfg, gray=gray, color=color)
     # five-point relative rotations feed the same focal search; looser gate
     assert abs(focal - FOCAL) / FOCAL < 0.15, focal
+
+
+def render_inward_capture(num_frames=16):
+    """Object-centric capture: cameras on the unit circle looking at a
+    textured radius-0.5 sphere at the origin (inward spherical constraint
+    t = (0,0,+1)), with a far backdrop sphere so every ray hits texture."""
+    rng = np.random.default_rng(9)
+    n_waves = 500
+    wdir = rng.normal(size=(n_waves, 3))
+    wdir /= np.linalg.norm(wdir, axis=-1, keepdims=True)
+    wvec_obj = wdir * rng.uniform(10.0, 150.0, (n_waves, 1))
+    wvec_bg = wdir * rng.uniform(1.0, 10.0, (n_waves, 1))
+    phase = rng.uniform(0, 2 * np.pi, n_waves)
+    amp = rng.uniform(0.3, 1.0, n_waves) / np.sqrt(n_waves)
+
+    phi = np.arange(num_frames) * 2 * np.pi / num_frames
+    cam_r, cam_t, frames = [], [], []
+    ys, xs = np.mgrid[0:H, 0:W]
+    dirs_cam = np.stack(
+        [(xs - W / 2) / FOCAL, (ys - H / 2) / FOCAL, np.ones_like(xs, float)], -1
+    )
+    for i in range(num_frames):
+        p = np.array([np.sin(phi[i]), 0.0, np.cos(phi[i])])
+        forward = -p
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, forward)
+        R = np.stack([right, up, forward])  # rows: world->camera
+        t = -R @ p
+        assert np.allclose(t, [0, 0, 1], atol=1e-12)
+        from sphericalsfm_tpu.geometry import so3_log
+
+        cam_r.append(np.asarray(so3_log(jnp.asarray(R))))
+        cam_t.append(t)
+
+        d = dirs_cam @ R  # camera->world ray dirs
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        cd = d @ p
+        # small object sphere radius 0.5 at origin
+        disc = cd**2 - (p @ p) + 0.25
+        hit_obj = disc > 0
+        t_obj = -cd - np.sqrt(np.maximum(disc, 0.0))
+        # backdrop sphere radius 8
+        t_bg = -cd + np.sqrt(cd**2 - (p @ p) + 64.0)
+        tt = np.where(hit_obj & (t_obj > 0), t_obj, t_bg)
+        pt = p + d * tt[..., None]
+        tex = np.zeros(pt.shape[:2])
+        use_obj = hit_obj & (t_obj > 0)
+        for k in range(n_waves):
+            tex += amp[k] * np.where(
+                use_obj,
+                np.cos(pt @ wvec_obj[k] + phase[k]),
+                0.5 * np.cos(pt @ wvec_bg[k] + phase[k]),
+            )
+        tex = (tex - tex.min()) / (tex.max() - tex.min())
+        frames.append(tex.astype(np.float32))
+    gray = np.stack(frames)
+    color = (gray[..., None] * 255).astype(np.uint8).repeat(3, axis=-1)
+    return np.stack(cam_r), np.stack(cam_t), gray, color
+
+
+def test_calibrated_driver_inward(tmp_path_factory):
+    """Inward-facing full pipeline (ECCV'16 object-centric mode)."""
+    from sphericalsfm_tpu.config import PipelineConfig
+    from sphericalsfm_tpu.pipeline.driver import run_calibrated
+
+    # 24 frames = 15 deg steps: close-object viewpoint change is the
+    # hard case for SIFT; wider steps drop below matchability.
+    cam_r_gt, cam_t_gt, gray, color = render_inward_capture(24)
+    out = str(tmp_path_factory.mktemp("sfm_inward"))
+    cfg = PipelineConfig()
+    cfg.inward = True
+    cfg.frontend.max_keypoints = 512
+    cfg.frontend.max_matches_per_pair = 384
+    cfg.ransac.num_hypotheses = 384
+    cfg.ransac.min_num_inliers = 15
+    cfg.ba.max_iters = 60
+
+    intr = Intrinsics(jnp.asarray(FOCAL), jnp.asarray(W / 2.0), jnp.asarray(H / 2.0))
+    m = run_calibrated(None, intr, out, cfg, gray=gray, color=color)
+
+    R_gt = np.asarray(so3_exp(jnp.asarray(cam_r_gt)))
+    centers_gt = -np.einsum("cji,cj->ci", R_gt, cam_t_gt)
+    err = float(ate(jnp.asarray(m.centers()), jnp.asarray(centers_gt)))
+    assert err < 0.08, err

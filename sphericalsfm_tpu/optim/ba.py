@@ -37,6 +37,11 @@ class BAProblem(NamedTuple):
     """Static-shape bundle-adjustment problem.
 
     C cameras, P points, K observations, Tmax = max track length.
+
+    `cam_ptr` (optional, C+1 int32) gives camera segment boundaries when the
+    observation table is sorted by camera index; it enables the matrix-free
+    PCG camera solve (scatter-free sorted segment sums). Build it with
+    `sort_obs_by_camera`.
     """
 
     focal: jnp.ndarray        # scalar
@@ -53,6 +58,7 @@ class BAProblem(NamedTuple):
     rot_fixed: jnp.ndarray    # (C,) bool
     trans_fixed: jnp.ndarray  # (C,) bool
     point_fixed: jnp.ndarray  # (P,) bool
+    cam_ptr: jnp.ndarray | None = None  # (C+1,) int32, obs sorted by camera
 
 
 class BAResult(NamedTuple):
@@ -124,20 +130,10 @@ def _per_obs_jacobians(focal, cam_t, cam_r, points, p: BAProblem):
     return e, Jf, Jc, Jx
 
 
-def _schur_solve(
-    e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype
-):
-    """One damped Schur-complement Gauss-Newton step.
-
-    Returns (d_focal, d_cam (C,6), d_points (P,3)).
-    """
-    C = p.cam_t.shape[0]
-    P = p.points.shape[0]
-    K = e.shape[0]
+def _weight_and_mask(e, Jf, Jc, Jx, p: BAProblem, loss_scale):
+    """Apply sqrt robust IRLS weights (Cauchy) × obs weights and zero the
+    Jacobian columns of frozen parameters. Shared by both camera solvers."""
     dtype = e.dtype
-
-    # Robust IRLS weights (Cauchy) × observation weights, applied as sqrt to
-    # residual and Jacobian.
     s = jnp.sum(e * e, axis=-1)
     w = cauchy_weight(s, loss_scale) * p.obs_w
     sw = jnp.sqrt(w)[:, None]
@@ -146,7 +142,6 @@ def _schur_solve(
     Jc_w = Jc * sw[..., None]
     Jx_w = Jx * sw[..., None]
 
-    # Freeze masks zero the corresponding Jacobian columns.
     free_f = jnp.where(p.focal_fixed, 0.0, 1.0).astype(dtype)
     free_t = (~p.trans_fixed).astype(dtype)[p.obs_cam]  # (K,)
     free_r = (~p.rot_fixed).astype(dtype)[p.obs_cam]
@@ -157,6 +152,21 @@ def _schur_solve(
         axis=-1,
     )[:, None, :]
     Jx_w = Jx_w * free_x[:, None, None]
+    return e_w, Jf_w, Jc_w, Jx_w
+
+
+def _schur_solve(
+    e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype
+):
+    """One damped Schur-complement Gauss-Newton step (dense camera solve).
+
+    Returns (d_focal, d_cam (C,6), d_points (P,3)).
+    """
+    C = p.cam_t.shape[0]
+    P = p.points.shape[0]
+    dtype = e.dtype
+
+    e_w, Jf_w, Jc_w, Jx_w = _weight_and_mask(e, Jf, Jc, Jx, p, loss_scale)
 
     # --- Hessian blocks (Gauss-Newton), scatter-free ---
     # Scatters serialize on TPU; every segment reduction below is either a
@@ -293,10 +303,308 @@ def _schur_solve(
     return d_f, d_cam, d_pts
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_iters", "loss_scale", "solve_dtype_name"),
-)
+def _sorted_segment_sum(x, ptr):
+    """Segment sums of rows of `x` (K, d) grouped contiguously by segment.
+
+    `ptr` (S+1,) holds segment boundaries (ptr[s] ≤ k < ptr[s+1] ⇒ row k is in
+    segment s). Scatter-free: two-level blocked prefix sums (block tree-sums in
+    registers, a short cumsum over blocks) + boundary gathers — scatters
+    serialize on TPU (CLAUDE.md), and a one-hot (K, S) contraction would
+    materialize K·S memory. Rounding error grows like √(K/B) not √K.
+    """
+    K, d = x.shape
+    B = 128
+    nb = max(1, -(-K // B))
+    xp = jnp.zeros((nb * B, d), x.dtype).at[:K].set(x)
+    blocks = xp.reshape(nb, B, d)
+    bsums = jnp.sum(blocks, axis=1)
+    bcum_ex = jnp.concatenate(
+        [jnp.zeros((1, d), x.dtype), jnp.cumsum(bsums, axis=0)[:-1]], axis=0
+    )
+    idx = jnp.clip(ptr, 0, nb * B)
+    bi = jnp.minimum(idx // B, nb - 1)
+    off = idx - bi * B  # in [0, B]
+    within = blocks[bi]  # (S+1, B, d)
+    m = (jnp.arange(B)[None, :] < off[:, None]).astype(x.dtype)
+    prefix = bcum_ex[bi] + jnp.einsum("sb,sbd->sd", m, within)
+    return prefix[1:] - prefix[:-1]
+
+
+def _schur_solve_pcg(
+    e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype,
+    pcg_iters, pcg_rtol, coarse_group=16,
+):
+    """Matrix-free Schur step: block-Jacobi preconditioned CG camera solve.
+
+    Never materializes the (C, C, 6, 6) reduced system — the TPU-native
+    answer to Ceres SPARSE_SCHUR (sfm.cpp:200-212) at the reference's
+    every-frame-is-a-keyframe scale (thousands of cameras). Requires
+    `p.cam_ptr` (observations sorted by camera): every camera-side reduction
+    is a sorted segment sum; every point-side reduction rides the track
+    table. Cost per CG iteration is O(K·18 + P·T·18) with no C² term.
+    """
+    C = p.cam_t.shape[0]
+    dtype = e.dtype
+
+    e_w, Jf_w, Jc_w, Jx_w = _weight_and_mask(e, Jf, Jc, Jx, p, loss_scale)
+
+    # --- point-side blocks via the track table (shared with dense path) ---
+    Tmax = p.track_obs.shape[1]
+    tmaskf = p.track_mask.astype(dtype)
+    tJx = Jx_w[p.track_obs] * tmaskf[..., None, None]    # (P, T, 2, 3)
+    tJc = Jc_w[p.track_obs] * tmaskf[..., None, None]    # (P, T, 2, 6)
+    tJf = Jf_w[p.track_obs][..., 0] * tmaskf[..., None]  # (P, T, 2)
+    te = e_w[p.track_obs] * tmaskf[..., None]            # (P, T, 2)
+    tcam = jnp.where(p.track_mask, p.obs_cam[p.track_obs], C)  # (P, T)
+
+    Hpp = jnp.einsum("ptdi,ptdj->pij", tJx, tJx)
+    b_p = jnp.einsum("ptdi,ptd->pi", tJx, te)
+    Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
+        lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
+    )[..., None, :] * jnp.eye(3, dtype=dtype)
+    Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
+    Hpp_inv = jnp.where(
+        (jnp.sum(p.track_mask, axis=-1) > 0)[:, None, None], Hpp_inv, 0.0
+    )
+
+    tU = jnp.einsum("ptdi,ptdj->ptij", tJc, tJx)         # (P, T, 6, 3)
+    tF_sum = jnp.einsum("ptd,ptdj->pj", tJf, tJx)        # (P, 3)
+
+    # --- camera-side blocks: one fused sorted segment sum ---
+    Hk = jnp.einsum("kdi,kdj->kij", Jc_w, Jc_w).reshape(-1, 36)
+    bk = jnp.einsum("kdi,kd->ki", Jc_w, e_w)             # (K, 6)
+    fk = jnp.einsum("kd,kdj->kj", Jf_w[..., 0], Jc_w)    # (K, 6)
+    U = jnp.einsum("kdi,kdj->kij", Jc_w, Jx_w)           # (K, 6, 3)
+    Hpi_k = Hpp_inv[p.obs_pt]                            # (K, 3, 3)
+    UHpi = jnp.einsum("kij,kjl->kil", U, Hpi_k)          # (K, 6, 3)
+    Mk = jnp.einsum("kil,kjl->kij", UHpi, U).reshape(-1, 36)  # U·Hpp⁻¹·Uᵀ
+    gk = jnp.einsum("kil,kl->ki", UHpi, b_p[p.obs_pt])   # U·Hpp⁻¹·b_p
+    FHpi = jnp.einsum("pi,pij->pj", tF_sum, Hpp_inv)     # (P, 3)
+    fck = jnp.einsum("kx,kjx->kj", FHpi[p.obs_pt], U)    # (K, 6)
+
+    seg = _sorted_segment_sum(
+        jnp.concatenate([Hk, bk, fk, Mk, gk, fck], axis=-1), p.cam_ptr
+    )  # (C, 96)
+    Hcc = seg[:, :36].reshape(C, 6, 6)
+    b_c = seg[:, 36:42]
+    Hfc = seg[:, 42:48]
+    Mcc = seg[:, 48:84].reshape(C, 6, 6)
+    rc_red = seg[:, 84:90]
+    Sfc_red = seg[:, 90:96]
+    Hff = jnp.sum(Jf_w * Jf_w)
+    b_f = jnp.sum(Jf_w[..., 0] * e_w)
+
+    diagC = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-12)
+    Hcc_d = Hcc + jnp.eye(6, dtype=dtype) * (lam * diagC)[..., None, :] * jnp.eye(
+        6, dtype=dtype
+    )
+    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, b_p)
+    Hff_d = (Hff * (1.0 + lam) + 1e-12).astype(solve_dtype)
+    Hfc_s = Hfc.astype(solve_dtype)                       # (C, 6)
+    S_ff = (Hff * (1.0 + lam) + 1e-12 - jnp.sum(FHpi * tF_sum)).astype(solve_dtype)
+    r_c = (b_c - rc_red).astype(solve_dtype)
+    r_f = (b_f - jnp.sum(tF_sum * y0)).astype(solve_dtype)
+
+    # --- block-Jacobi preconditioner from the exact Schur diagonal blocks
+    # (each (camera, point) pair observed once ⇒ Σ_k U_k Hpp⁻¹ U_kᵀ is the
+    # true diagonal correction). Clamped to stay SPD under f32 rounding and
+    # frozen-parameter zero rows.
+    Pc = (Hcc_d - Mcc.reshape(C, 6, 6)).astype(solve_dtype)
+    eps = 1e-6 * jnp.maximum(
+        jnp.trace(Pc, axis1=-2, axis2=-1) / 6.0, 1e-12
+    )[:, None, None] * jnp.eye(6, dtype=solve_dtype) + 1e-30 * jnp.eye(
+        6, dtype=solve_dtype
+    )
+    Lp = jnp.linalg.cholesky(Pc + eps)
+    bad = ~jnp.all(jnp.isfinite(Lp), axis=(-2, -1))
+    Lp_fallback = jnp.linalg.cholesky(Hcc_d.astype(solve_dtype) + eps)
+    Lp = jnp.where(bad[:, None, None], Lp_fallback, Lp)
+    Pf = jnp.maximum(S_ff, 1e-30)
+
+    # --- coarse-grid level: aggregate groups of `coarse_group` consecutive
+    # cameras and solve the Galerkin-restricted Schur system densely. On the
+    # near-banded co-visibility graph of a spherical capture the block-Jacobi
+    # level only propagates information one camera per CG iteration; the
+    # coarse solve carries the smooth long-range (ring) modes in one shot —
+    # two-level additive Schwarz, M⁻¹ = J⁻¹ + R S_G⁻¹ Rᵀ.
+    use_coarse = bool(coarse_group) and C > 2 * int(coarse_group)
+    if use_coarse:
+        g = int(coarse_group)
+        G = -(-C // g)
+        Cp = G * g
+
+        def padC(x):
+            return jnp.zeros((Cp,) + x.shape[1:], x.dtype).at[: x.shape[0]].set(x)
+
+        # per-point per-group aggregates V[p, G, 6, 3] = Σ_{a: grp(cam)=G} U_a,
+        # chunked over points to bound one-hot memory (chunk × T × G).
+        P_pts = p.points.shape[0]
+        chunkc = max(1, min(P_pts, 2048))
+        nch = -(-P_pts // chunkc)
+
+        def padP(x):
+            return jnp.zeros((nch * chunkc,) + x.shape[1:], x.dtype).at[
+                : x.shape[0]
+            ].set(x)
+
+        tgrp = jnp.where(p.track_mask, jnp.minimum(tcam // g, G), G)
+        tU_ch = padP(tU).reshape(nch, chunkc, Tmax, 6, 3)
+        tg_ch = padP(tgrp).reshape(nch, chunkc, Tmax)
+        Hpi_ch = padP(Hpp_inv).reshape(nch, chunkc, 3, 3)
+
+        def coarse_body(acc, xs):
+            tUc, tg, Hic = xs
+            oh = (tg[..., None] == jnp.arange(G)[None, None, :]).astype(dtype)
+            V = jnp.einsum("ptg,ptix->pgix", oh, tUc)       # (chunk, G, 6, 3)
+            VH = jnp.einsum("pgix,pxy->pgiy", V, Hic)
+            return acc + jnp.einsum("pgiy,phjy->ghij", VH, V), None
+
+        Sg_red, _ = jax.lax.scan(
+            coarse_body,
+            jnp.zeros((G, G, 6, 6), dtype),
+            (tU_ch, tg_ch, Hpi_ch),
+        )
+        Hg = padC(Hcc_d).reshape(G, g, 6, 6).sum(1)         # Rᵀ Hcc_d R
+        Sg = -Sg_red.at[jnp.arange(G), jnp.arange(G)].add(-Hg)
+        Sfc_g = padC(Hfc - Sfc_red).reshape(G, g, 6).sum(1)  # (G, 6)
+
+        Dg = 6 * G + 1
+        Sg_full = jnp.zeros((Dg, Dg), solve_dtype)
+        Sg_full = Sg_full.at[: 6 * G, : 6 * G].set(
+            Sg.transpose(0, 2, 1, 3).reshape(6 * G, 6 * G).astype(solve_dtype)
+        )
+        Sg_full = Sg_full.at[6 * G, : 6 * G].set(
+            Sfc_g.reshape(-1).astype(solve_dtype)
+        )
+        Sg_full = Sg_full.at[: 6 * G, 6 * G].set(
+            Sfc_g.reshape(-1).astype(solve_dtype)
+        )
+        Sg_full = Sg_full.at[6 * G, 6 * G].set(S_ff)
+        gscale = jnp.sqrt(jnp.maximum(jnp.diagonal(Sg_full), 1e-12))
+        Sg_eq = Sg_full / gscale[:, None] / gscale[None, :]
+        Lg = jnp.linalg.cholesky(
+            Sg_eq + 1e-6 * jnp.eye(Dg, dtype=solve_dtype)
+        )
+
+    tU_s = tU.astype(solve_dtype)
+    U_s = U.astype(solve_dtype)
+    Hpi_s = Hpp_inv.astype(solve_dtype)
+    Hcc_ds = Hcc_d.astype(solve_dtype)
+    obs_pt = p.obs_pt
+
+    def matvec(vc, vf):
+        # point side: y_p = Wᵀ vc + F vf, z_p = Hpp⁻¹ y_p. The point
+        # reduction of BOTH the camera and the focal coupling rides through
+        # z, so the camera/focal terms here use the RAW couplings Hfc/Hff_d:
+        #   out_c = Hcc_d vc + Hfc vf − W z  = S_cc vc + S_cf vf
+        #   out_f = Hfc·vc + Hff_d vf − F·z  = S_fc·vc + S_ff vf
+        vc_pad = jnp.concatenate([vc, jnp.zeros((1, 6), solve_dtype)], axis=0)
+        y = jnp.einsum("ptij,pti->pj", tU_s, vc_pad[tcam])
+        y = y + tF_sum.astype(solve_dtype) * vf
+        z = jnp.einsum("pij,pj->pi", Hpi_s, y)
+        # camera side: (W z)[c] via sorted segment sum
+        wk = jnp.einsum("kij,kj->ki", U_s, z[obs_pt])
+        Wz = _sorted_segment_sum(wk, p.cam_ptr)
+        out_c = jnp.einsum("cij,cj->ci", Hcc_ds, vc) - Wz + Hfc_s * vf
+        out_f = jnp.sum(Hfc_s * vc) + Hff_d * vf - jnp.sum(
+            tF_sum.astype(solve_dtype) * z
+        )
+        return out_c, out_f
+
+    def precond(rc, rf):
+        yv = jax.scipy.linalg.solve_triangular(
+            Lp, rc[..., None], lower=True
+        )
+        zc = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Lp, -1, -2), yv, lower=False
+        )[..., 0]
+        zf = rf / Pf
+        if use_coarse:
+            rG = padC(rc).reshape(G, g, 6).sum(1)
+            rhs = jnp.concatenate([rG.reshape(-1), rf[None]]) / gscale
+            yg = jax.scipy.linalg.solve_triangular(Lg, rhs, lower=True)
+            xg = jax.scipy.linalg.solve_triangular(
+                Lg.T, yg, lower=False
+            ) / gscale
+            zc = zc + jnp.repeat(xg[: 6 * G].reshape(G, 6), g, axis=0)[:C]
+            zf = zf + xg[6 * G]
+        return zc, zf
+
+    b_cs = -r_c
+    b_fs = -r_f
+    bnorm2 = jnp.sum(b_cs * b_cs) + b_fs * b_fs
+
+    z0c, z0f = precond(b_cs, b_fs)
+    state0 = (
+        jnp.zeros((C, 6), solve_dtype), jnp.zeros((), solve_dtype),  # x
+        b_cs, b_fs,                                                  # r
+        z0c, z0f,                                                    # p dir
+        jnp.sum(b_cs * z0c) + b_fs * z0f,                            # rz
+        jnp.asarray(0),
+    )
+
+    def pcg_cond(st):
+        _, _, rc, rf, _, _, rz, it = st
+        rnorm2 = jnp.sum(rc * rc) + rf * rf
+        return (
+            (it < pcg_iters)
+            & (rnorm2 > pcg_rtol * pcg_rtol * jnp.maximum(bnorm2, 1e-30))
+            & jnp.isfinite(rz)
+        )
+
+    def pcg_body(st):
+        xc, xf, rc, rf, pc, pf, rz, it = st
+        Apc, Apf = matvec(pc, pf)
+        denom = jnp.sum(pc * Apc) + pf * Apf
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        xc = xc + alpha * pc
+        xf = xf + alpha * pf
+        rc = rc - alpha * Apc
+        rf = rf - alpha * Apf
+        zc, zf = precond(rc, rf)
+        rz_new = jnp.sum(rc * zc) + rf * zf
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+        pc = zc + beta * pc
+        pf = zf + beta * pf
+        return xc, xf, rc, rf, pc, pf, rz_new, it + 1
+
+    xc, xf, *_ = jax.lax.while_loop(pcg_cond, pcg_body, state0)
+    d_cam = xc.astype(dtype)
+    d_f = xf.astype(dtype)
+
+    # --- back-substitute points (same as dense path) ---
+    d_cam_pad = jnp.concatenate([d_cam, jnp.zeros((1, 6), dtype)], axis=0)
+    Wt_dx = jnp.einsum("ptij,pti->pj", tU, d_cam_pad[tcam])
+    Ft_dx = tF_sum * d_f
+    d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
+    return d_f, d_cam, d_pts
+
+
+def sort_obs_by_camera(p: BAProblem) -> BAProblem:
+    """Host-side: sort the observation table by camera and attach `cam_ptr`.
+
+    Required by the PCG camera solve. The track table is remapped through the
+    permutation; outputs (cameras/points) are unaffected.
+    """
+    import numpy as np
+
+    obs_cam = np.asarray(p.obs_cam)
+    order = np.argsort(obs_cam, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0])
+    C = p.cam_t.shape[0]
+    counts = np.bincount(obs_cam, minlength=C)
+    ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return p._replace(
+        obs_cam=jnp.asarray(obs_cam[order]),
+        obs_pt=jnp.asarray(np.asarray(p.obs_pt)[order]),
+        obs_uv=jnp.asarray(np.asarray(p.obs_uv)[order]),
+        obs_w=jnp.asarray(np.asarray(p.obs_w)[order]),
+        track_obs=jnp.asarray(inv[np.asarray(p.track_obs)].astype(np.int32)),
+        cam_ptr=jnp.asarray(ptr),
+    )
+
+
 def bundle_adjust(
     p: BAProblem,
     max_iters: int = 50,
@@ -304,14 +612,52 @@ def bundle_adjust(
     init_lambda: float = 1e-4,
     ftol: float = 1e-9,
     solve_dtype_name: str = "float64",
+    camera_solver: str = "auto",
+    pcg_iters: int = 200,
+    pcg_rtol: float = 1e-8,
+    pcg_coarse: int = 16,
 ) -> BAResult:
     """Robust LM bundle adjustment; returns the optimized state.
 
     Semantics match SfM::Optimize (sfm.cpp:228-290): Cauchy(1.0) loss,
-    frozen-parameter masks, trust-region LM (max_num_iterations here defaults
-    lower than Ceres's 2000 — the Schur step is exact, and tests assert
-    convergence, raise for hard problems).
+    frozen-parameter masks, trust-region LM. `camera_solver` picks the Schur
+    camera solve: "dense" (exact (6C+1)² Cholesky), "pcg" (matrix-free
+    two-level-preconditioned CG — scales past the dense wall, the Ceres
+    SPARSE_SCHUR analogue), or "auto" (pcg above 160 cameras). `pcg_coarse`
+    is the coarse-grid aggregation size (0 disables the coarse level).
     """
+    C = p.cam_t.shape[0]
+    if camera_solver == "auto":
+        camera_solver = "pcg" if C > 160 else "dense"
+    if camera_solver == "pcg" and p.cam_ptr is None:
+        p = sort_obs_by_camera(p)
+    return _bundle_adjust_jit(
+        p, max_iters=max_iters, loss_scale=loss_scale,
+        init_lambda=init_lambda, ftol=ftol,
+        solve_dtype_name=solve_dtype_name, camera_solver=camera_solver,
+        pcg_iters=pcg_iters, pcg_rtol=pcg_rtol, pcg_coarse=pcg_coarse,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iters", "loss_scale", "solve_dtype_name", "camera_solver",
+        "pcg_iters", "pcg_rtol", "pcg_coarse",
+    ),
+)
+def _bundle_adjust_jit(
+    p: BAProblem,
+    max_iters: int = 50,
+    loss_scale: float = 1.0,
+    init_lambda: float = 1e-4,
+    ftol: float = 1e-9,
+    solve_dtype_name: str = "float64",
+    camera_solver: str = "dense",
+    pcg_iters: int = 200,
+    pcg_rtol: float = 1e-8,
+    pcg_coarse: int = 16,
+) -> BAResult:
     solve_dtype = jnp.dtype(solve_dtype_name)
     dtype = p.points.dtype
 
@@ -322,9 +668,15 @@ def bundle_adjust(
     def body(carry):
         f, ct, cr, pts, lam, cost, it, done = carry
         e, Jf, Jc, Jx = _per_obs_jacobians(f, ct, cr, pts, p)
-        d_f, d_cam, d_pts = _schur_solve(
-            e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
-        )
+        if camera_solver == "pcg":
+            d_f, d_cam, d_pts = _schur_solve_pcg(
+                e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype,
+                pcg_iters, pcg_rtol, pcg_coarse,
+            )
+        else:
+            d_f, d_cam, d_pts = _schur_solve(
+                e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
+            )
         f_n = f + d_f
         ct_n = ct + d_cam[:, :3]
         cr_n = cr + d_cam[:, 3:]
@@ -378,13 +730,15 @@ def build_tracks(obs_pt, num_points: int, max_track: int | None = None):
     counts = np.bincount(obs_pt, minlength=num_points)
     T = int(counts.max()) if max_track is None else max_track
     T = max(T, 1)
+    # Vectorized bucketing: slot of each observation within its point's group
+    # is its rank in the stable point-sorted order minus the group start.
+    order = np.argsort(obs_pt, kind="stable")
+    sorted_pt = obs_pt[order]
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(obs_pt.shape[0]) - start[sorted_pt]
+    keep = slot < T
     track_obs = np.zeros((num_points, T), np.int32)
     track_mask = np.zeros((num_points, T), bool)
-    cursor = np.zeros(num_points, np.int64)
-    for k, j in enumerate(obs_pt):
-        c = cursor[j]
-        if c < T:
-            track_obs[j, c] = k
-            track_mask[j, c] = True
-            cursor[j] = c + 1
+    track_obs[sorted_pt[keep], slot[keep]] = order[keep].astype(np.int32)
+    track_mask[sorted_pt[keep], slot[keep]] = True
     return track_obs, track_mask

@@ -324,6 +324,119 @@ def initialize_rotations_sequential(
     return so3_log(Rg)
 
 
+def build_spanning_tree(num_frames: int, edge_i, edge_j, edge_w):
+    """Host-side maximum-weight spanning forest of the measurement graph.
+
+    The global-initialization analogue of the reference's GraphOptim dispatch
+    (initialize_rotations_gopt, spherical_sfm_tools.cpp:815-849, dispatcher
+    :1133-1140): instead of chaining only adjacent pairs — which breaks the
+    moment one adjacent RANSAC fails — root every component at its smallest
+    frame and chain along the heaviest (most-inlier) edges.
+
+    Returns numpy (parent (N,), edge_idx (N,), sign (N,) int32): sign +1 if
+    the tree edge is stored i=parent→j=child, −1 if reversed, 0 at roots /
+    isolated frames.
+    """
+    import numpy as np
+    from collections import deque
+
+    ei = np.asarray(edge_i)
+    ej = np.asarray(edge_j)
+    w = np.asarray(edge_w, float)
+    order = np.argsort(-w, kind="stable")
+
+    uf = np.arange(num_frames)
+
+    def find(x):
+        while uf[x] != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    adj = [[] for _ in range(num_frames)]
+    for e in order:
+        if w[e] <= 0:
+            continue
+        a, b = find(ei[e]), find(ej[e])
+        if a != b:
+            uf[a] = b
+            adj[ei[e]].append((int(ej[e]), int(e)))
+            adj[ej[e]].append((int(ei[e]), int(e)))
+
+    parent = np.arange(num_frames, dtype=np.int32)
+    eidx = np.zeros(num_frames, np.int32)
+    sign = np.zeros(num_frames, np.int32)
+    seen = np.zeros(num_frames, bool)
+    for root in range(num_frames):
+        if seen[root]:
+            continue
+        seen[root] = True
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            for v, e in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    parent[v] = u
+                    eidx[v] = e
+                    sign[v] = 1 if ei[e] == u else -1
+                    dq.append(v)
+    return parent, eidx, sign
+
+
+@partial(jax.jit, static_argnames=("num_frames",))
+def initialize_rotations_tree(
+    num_frames: int,
+    g: RotationGraph,
+    parent: jnp.ndarray,
+    edge_idx: jnp.ndarray,
+    sign: jnp.ndarray,
+) -> jnp.ndarray:
+    """Compose global rotations along a spanning tree by pointer doubling.
+
+    R_global[v] = A[v]·A[parent]·…·I with A[v] the parent→v relative rotation
+    (x_child = A x_parent, world→camera chaining as in the sequential init).
+    ⌈log₂N⌉ batched gather+matmul rounds — no sequential chain, TPU-friendly.
+    """
+    dtype = g.r_meas.dtype
+    Rm = so3_exp(g.r_meas)
+    Re = Rm[edge_idx]
+    eye = jnp.eye(3, dtype=dtype)
+    A = jnp.where(sign[:, None, None] > 0, Re, jnp.swapaxes(Re, -1, -2))
+    A = jnp.where(sign[:, None, None] == 0, eye, A)
+
+    import math
+
+    iters = max(1, math.ceil(math.log2(max(num_frames, 2))) + 1)
+
+    def body(_, carry):
+        par, M = carry
+        M = jnp.einsum("nij,njk->nik", M, M[par])
+        return par[par], M
+
+    _, M = jax.lax.fori_loop(0, iters, body, (parent, A))
+    return so3_log(M)
+
+
+def initialize_rotations_global(
+    num_frames: int, g: RotationGraph, weights=None
+) -> jnp.ndarray:
+    """Global rotation init (gopt-parity path, `sequential=False`): heaviest
+    spanning tree + pointer-doubling composition. Robust refinement is the
+    caller's `optimize_rotations` (reference refine_rotations,
+    spherical_sfm_tools.cpp:851-860)."""
+    import numpy as np
+
+    w = np.asarray(g.edge_w) if weights is None else np.asarray(weights)
+    parent, eidx, sign = build_spanning_tree(
+        num_frames, np.asarray(g.edge_i), np.asarray(g.edge_j), w
+    )
+    return initialize_rotations_tree(
+        num_frames, g, jnp.asarray(parent), jnp.asarray(eidx),
+        jnp.asarray(sign),
+    )
+
+
 def rotations_at_focal(
     E_mats: jnp.ndarray, focal_ratio, inward: bool = False
 ) -> jnp.ndarray:
@@ -348,18 +461,24 @@ def loop_constraint_costs(
     edge_w: jnp.ndarray,
     num_frames: int,
     inward: bool = False,
+    tree=None,
 ) -> jnp.ndarray:
     """Pose-graph cost of each focal hypothesis — the vectorized form of the
     reference's 1024-trial OpenMP focal search (loop_constraint_cost_fn +
     find_best_focal_length_random, spherical_sfm_tools.cpp:1142-1159,
-    1418-1496): conjugate E by f/f₀, re-decompose, chain a sequential
-    rotation init, evaluate the robust loop-closure cost. One vmap over F.
+    1418-1496): conjugate E by f/f₀, re-decompose, chain a rotation init
+    (sequential, or spanning-`tree` (parent, edge_idx, sign) for the global
+    path — topology is focal-independent), evaluate the robust loop-closure
+    cost. One vmap over F.
     """
 
     def cost_of(f):
         r_f = rotations_at_focal(E_mats, f / focal_guess, inward)
         g = RotationGraph(edge_i=edge_i, edge_j=edge_j, r_meas=r_f, edge_w=edge_w)
-        rots = initialize_rotations_sequential(num_frames, g)
+        if tree is None:
+            rots = initialize_rotations_sequential(num_frames, g)
+        else:
+            rots = initialize_rotations_tree(num_frames, g, *tree)
         return pose_graph_cost(rots, g)
 
     return jax.vmap(cost_of)(focals)
@@ -377,20 +496,32 @@ def find_best_focal_random(
     max_focal,
     num_trials: int = 1024,
     inward: bool = False,
+    sequential: bool = True,
 ):
     """Random-search the focal length, then return (best_focal, costs, focals).
 
     The caller typically follows with `optimize_rotations_and_focal` (the
     reference's run_optimization, spherical_sfm_tools.cpp:1161-1189).
+    `sequential=False` initializes each trial's rotations along the heaviest
+    spanning tree instead of the adjacent-pair chain (the gopt-parity path).
     """
     dtype = E_mats.dtype
     focals = min_focal + (max_focal - min_focal) * jax.random.uniform(
         key, (num_trials,), dtype
     )
     focals = jnp.concatenate([focals, jnp.atleast_1d(jnp.asarray(focal_guess, dtype))])
+    tree = None
+    if not sequential:
+        import numpy as np
+
+        parent, eidx, sign = build_spanning_tree(
+            num_frames, np.asarray(edge_i), np.asarray(edge_j),
+            np.asarray(edge_w),
+        )
+        tree = (jnp.asarray(parent), jnp.asarray(eidx), jnp.asarray(sign))
     costs = loop_constraint_costs(
         focals, jnp.asarray(focal_guess, dtype), E_mats, edge_i, edge_j,
-        edge_w, num_frames, inward,
+        edge_w, num_frames, inward, tree,
     )
     best = jnp.argmin(jnp.where(jnp.isfinite(costs), costs, jnp.inf))
     return focals[best], costs, focals

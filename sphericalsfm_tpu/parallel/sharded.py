@@ -107,6 +107,9 @@ def shard_ba_problem(mesh: Mesh, p: BAProblem) -> BAProblem:
         rot_fixed=jax.device_put(p.rot_fixed, rep),
         trans_fixed=jax.device_put(p.trans_fixed, rep),
         point_fixed=jax.device_put(p.point_fixed, sh),
+        cam_ptr=(
+            None if p.cam_ptr is None else jax.device_put(p.cam_ptr, rep)
+        ),
     )
 
 
@@ -115,17 +118,23 @@ def distributed_bundle_adjust(
     p: BAProblem,
     max_iters: int = 10,
     solve_dtype_name: str = "float32",
+    camera_solver: str = "dense",
 ):
     """Bundle adjustment with mesh-sharded observations/points.
 
     GSPMD partitions the per-observation Jacobian work and the per-point
-    Schur blocks along `data`; the (6C+1)² reduced camera system is assembled
-    with cross-shard reductions (XLA inserts the psum) and solved replicated.
+    Schur blocks along `data`; the reduced camera system is assembled with
+    cross-shard reductions (XLA inserts the psum) and solved replicated —
+    dense Cholesky or (camera_solver="pcg") the matrix-free CG solve, whose
+    per-iteration segment sums and gathers also partition along `data`.
     """
-    from ..optim.ba import bundle_adjust
+    from ..optim.ba import bundle_adjust, sort_obs_by_camera
 
+    if camera_solver == "pcg" and p.cam_ptr is None:
+        p = sort_obs_by_camera(p)  # host-side sort before laying out shards
     p_sharded = shard_ba_problem(mesh, p)
     with mesh:
         return bundle_adjust(
-            p_sharded, max_iters=max_iters, solve_dtype_name=solve_dtype_name
+            p_sharded, max_iters=max_iters, solve_dtype_name=solve_dtype_name,
+            camera_solver=camera_solver,
         )

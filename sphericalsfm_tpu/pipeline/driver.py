@@ -34,6 +34,7 @@ from ..geometry.so3 import so3_exp
 from ..optim.pose_graph import (
     RotationGraph,
     find_best_focal_random,
+    initialize_rotations_global,
     initialize_rotations_sequential,
     optimize_rotations,
     optimize_rotations_and_focal,
@@ -197,7 +198,15 @@ def run_calibrated(
         edge_i=jnp.asarray(fr.pair_i), edge_j=jnp.asarray(fr.pair_j),
         r_meas=jnp.asarray(pw.r), edge_w=jnp.asarray(keep.astype(float)),
     )
-    rot0 = initialize_rotations_sequential(F, g)
+    # Rotation init dispatch (reference initialize_rotations,
+    # spherical_sfm_tools.cpp:1133-1140): adjacent chain, or the global
+    # spanning-tree path that survives a broken chain (-sequential=false).
+    if cfg.graph.sequential:
+        rot0 = initialize_rotations_sequential(F, g)
+    else:
+        rot0 = initialize_rotations_global(
+            F, g, weights=np.where(keep, pw.num_inliers, 0)
+        )
     rots, pg_cost = optimize_rotations(rot0, g)
     log.end(frames_in_component=len(frames), cost=float(pg_cost))
 
@@ -359,13 +368,19 @@ def run_uncalibrated(
         max_focal=focal_guess * cfg.focal.max_focal_factor,
         num_trials=cfg.focal.num_trials,
         inward=cfg.inward,
+        sequential=cfg.graph.sequential,
     )
     # Joint rotations + focal refinement at the best hypothesis.
     r_best = rotations_at_focal(E_search, best_focal / focal_guess,
                                 cfg.inward)
     g = RotationGraph(jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
                       r_best, ew)
-    rot0 = initialize_rotations_sequential(F, g)
+    if cfg.graph.sequential:
+        rot0 = initialize_rotations_sequential(F, g)
+    else:
+        rot0 = initialize_rotations_global(
+            F, g, weights=np.where(keep, pw.num_inliers, 0)
+        )
     rots, fmult, pg_cost = optimize_rotations_and_focal(
         rot0, g, jnp.asarray(1.0),
         jnp.asarray(float(focal_guess * cfg.focal.min_focal_factor / best_focal)),

@@ -147,6 +147,75 @@ def test_ba_f32_solve_path():
     assert rms < 0.1, rms
 
 
+def test_ba_pcg_matches_dense():
+    """The matrix-free PCG camera solve (Ceres SPARSE_SCHUR analogue) must
+    reach the same optimum as the exact dense Schur solve."""
+    scene = make_scene(seed=1)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(2)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.01
+    cam_r_pert[0] = cam_r[0]
+    pts_pert = pts + rng.normal(size=pts.shape) * 0.05
+    p = build_problem(cam_r_pert, cam_t, pts_pert, *rest)
+    res_d = bundle_adjust(p, max_iters=40, camera_solver="dense")
+    res_p = bundle_adjust(p, max_iters=40, camera_solver="pcg")
+    assert float(res_p.cost) < 1e-10 * max(1.0, float(res_p.initial_cost))
+    np.testing.assert_allclose(
+        np.asarray(res_p.cam_r), np.asarray(res_d.cam_r), atol=1e-8
+    )
+
+
+def test_ba_pcg_focal_and_general():
+    """PCG path with focal free and with translations free."""
+    scene = make_scene(seed=7)
+    cam_r, cam_t, pts, *rest = scene
+    p = build_problem(cam_r, cam_t, pts, *rest, focal=FOCAL * 1.1,
+                      focal_fixed=False)
+    res = bundle_adjust(p, max_iters=60, camera_solver="pcg")
+    assert abs(float(res.focal) - FOCAL) / FOCAL < 1e-3, float(res.focal)
+
+    scene = make_scene(seed=5)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(6)
+    cam_r_p = cam_r + rng.normal(size=cam_r.shape) * 0.005
+    cam_r_p[0] = cam_r[0]
+    cam_t_p = cam_t + rng.normal(size=cam_t.shape) * 0.01
+    cam_t_p[0] = cam_t[0]
+    p = build_problem(cam_r_p, cam_t_p, pts, *rest, spherical=False)
+    res = bundle_adjust(p, max_iters=60, camera_solver="pcg")
+    assert float(res.cost) < 1e-9 * max(1.0, float(res.initial_cost))
+
+
+def test_ba_pcg_auto_at_scale():
+    """camera_solver="auto" switches to PCG above the dense threshold and
+    converges on a few-hundred-camera ring (the scale VERDICT item 1 targets)."""
+    scene = make_scene(seed=21, C=220, P=900, noise=0.3)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(22)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.003
+    cam_r_pert[0] = cam_r[0]
+    p = build_problem(cam_r_pert, cam_t, pts, *rest)
+    res = bundle_adjust(p, max_iters=25, camera_solver="auto")
+    K = np.count_nonzero(np.asarray(p.obs_w))
+    rms = np.sqrt(2 * float(res.cost) / K / 2)
+    assert rms < 1.0, rms
+
+
+def test_ba_pcg_f32_solve():
+    """TPU regime: f32 PCG solve converges to the noise floor."""
+    scene = make_scene(seed=8, noise=0.2)
+    cam_r, cam_t, pts, *rest = scene
+    rng = np.random.default_rng(9)
+    cam_r_pert = cam_r + rng.normal(size=cam_r.shape) * 0.005
+    cam_r_pert[0] = cam_r[0]
+    p = build_problem(cam_r_pert, cam_t, pts, *rest)
+    res = bundle_adjust(p, max_iters=40, camera_solver="pcg",
+                        solve_dtype_name="float32", pcg_rtol=1e-6)
+    K = np.count_nonzero(np.asarray(p.obs_w))
+    rms = np.sqrt(2 * float(res.cost) / K / 2)
+    assert rms < 0.5, rms
+
+
 def test_ba_matches_scipy_reference():
     """Independent cross-check: our Schur LM must reach the same minimum as
     scipy's trust-region least_squares on the identical robust problem."""

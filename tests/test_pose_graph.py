@@ -159,3 +159,87 @@ def test_joint_focal_rotation_optimization():
     assert abs(f_est - f_true) / f_true < 0.02, f_est
     errs = np.asarray(rotation_error_deg(so3_exp(rots), so3_exp(jnp.asarray(r_gt))))
     assert errs.max() < 1.0, errs.max()
+
+
+def _drop_edge(g: RotationGraph, i: int, j: int) -> RotationGraph:
+    ei = np.asarray(g.edge_i)
+    ej = np.asarray(g.edge_j)
+    w = np.asarray(g.edge_w).copy()
+    w[(ei == i) & (ej == j)] = 0.0
+    return g._replace(edge_w=jnp.asarray(w))
+
+
+def test_global_init_survives_broken_chain():
+    """VERDICT item 2: drop an adjacent edge — the sequential chain breaks
+    (identity from the gap on), the spanning-tree global init recovers the
+    trajectory through the redundant skip edges."""
+    from sphericalsfm_tpu.optim.pose_graph import initialize_rotations_global
+
+    n = 16
+    r_gt = _circle_rotations(n, 0.5)
+    skips = [(i, i + 2) for i in range(n - 2)]
+    g = _graph_from_gt(r_gt, extra_edges=skips)
+    g = _drop_edge(g, 7, 8)  # break the adjacent chain mid-way
+
+    R_gt = so3_exp(jnp.asarray(r_gt))
+
+    seq = initialize_rotations_sequential(n, g)
+    errs_seq = np.asarray(rotation_error_deg(so3_exp(seq), R_gt))
+    assert errs_seq.max() > 5.0  # chain is broken: large error downstream
+
+    glob = initialize_rotations_global(n, g)
+    errs_glob = np.asarray(rotation_error_deg(so3_exp(glob), R_gt))
+    assert errs_glob.max() < 1e-6, errs_glob
+
+    # robust refinement stays at the optimum
+    rots, cost = optimize_rotations(glob, g)
+    errs = np.asarray(rotation_error_deg(so3_exp(rots), R_gt))
+    assert errs.max() < 1e-6
+
+
+def test_global_init_weights_prefer_heavy_edges():
+    """Tree follows the heavier (more-inlier) edges when both exist."""
+    from sphericalsfm_tpu.optim.pose_graph import (
+        build_spanning_tree, initialize_rotations_global,
+    )
+
+    n = 8
+    r_gt = _circle_rotations(n)
+    skips = [(i, i + 2) for i in range(n - 2)]
+    g = _graph_from_gt(r_gt, extra_edges=skips)
+    E = len(np.asarray(g.edge_i))
+    weights = np.ones(E)
+    weights[: n - 1] = 100.0  # adjacent edges heaviest
+    parent, eidx, sign = build_spanning_tree(
+        n, np.asarray(g.edge_i), np.asarray(g.edge_j), weights
+    )
+    # with adjacent edges heaviest the tree must be the chain
+    assert list(parent[1:]) == list(range(n - 1))
+    glob = initialize_rotations_global(n, g, weights=weights)
+    errs = np.asarray(rotation_error_deg(so3_exp(glob), so3_exp(jnp.asarray(r_gt))))
+    assert errs.max() < 1e-6
+
+
+def test_focal_search_global_init_matches_sequential():
+    """Focal search under the spanning-tree init agrees with the sequential
+    path on an intact graph (reference dispatcher parity,
+    spherical_sfm_tools.cpp:1133-1140)."""
+    focal_true, focal_guess = 500.0, 420.0
+    n = 14
+    r_gt = _circle_rotations(n)
+    g = _graph_from_gt(r_gt, extra_edges=[(0, n - 1), (1, n - 2)])
+    E_true = make_spherical_essential(so3_exp(jnp.asarray(g.r_meas)))
+    # E as estimated at the wrong focal guess: conjugate by f0/f_true
+    E_obs = conjugate_essential_by_focal(E_true, focal_guess / focal_true)
+
+    out = {}
+    for name, seq in (("seq", True), ("glob", False)):
+        best, costs, focals = find_best_focal_random(
+            jax.random.PRNGKey(0), focal_guess, E_obs,
+            g.edge_i, g.edge_j, g.edge_w, n,
+            min_focal=focal_guess / 4, max_focal=focal_guess * 2,
+            num_trials=256, sequential=seq,
+        )
+        out[name] = float(best)
+    assert abs(out["seq"] - out["glob"]) / out["seq"] < 0.02, out
+    assert abs(out["glob"] - focal_true) / focal_true < 0.1, out

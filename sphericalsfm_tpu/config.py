@@ -30,8 +30,11 @@ class FrontendConfig:
 class RansacConfig:
     inlier_threshold_px: float = 2.0
     min_num_inliers: int = 100
-    num_hypotheses: int = 1024
+    num_hypotheses: int = 1024         # cap (= round_size × max rounds)
     pair_chunk: int = 64
+    adaptive: bool = True              # RansacLib-style early termination
+    round_size: int = 128              # hypotheses per adaptive round
+    confidence: float = 0.99           # termination confidence
 
 
 @dataclass

@@ -16,14 +16,19 @@ vᵀ E u = 0 with E = [t]_x R.
 
 from __future__ import annotations
 
+import numpy as _np
+
 import jax.numpy as jnp
 
 from .so3 import skew, so3_exp, so3_log
 
-_E3 = jnp.array([0.0, 0.0, 1.0])
+# Plain numpy constants: a module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it must
+# run before any backend touch — parallel/multihost.py).
+_E3 = _np.array([0.0, 0.0, 1.0])
 
 # The two "twisted-pair" rotors of the essential decomposition.
-_D = jnp.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+_D = _np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
 _DT = _D.T
 
 

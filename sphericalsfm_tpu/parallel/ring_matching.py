@@ -8,6 +8,11 @@ against the block that has rotated s hops around the ring (`ppermute` over
 ICI). After nd steps every block pair has met exactly once — structurally
 identical to ring attention, with descriptor blocks in place of KV blocks.
 
+Matches are compacted to fixed-width (idx0, idx1, mask) tables *inside the
+ring step* (sort-based dedupe, no scatters), so the sweep's footprint is
+O(F²·max_matches) — never the O(F²·K) dense nearest-neighbor field, and
+never a host-side reassembly loop.
+
 Works identically on a CPU mesh (`--xla_force_host_platform_device_count`)
 and a TPU slice.
 """
@@ -20,9 +25,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.matching import _two_smallest, pairwise_sq_dists
+from ..ops.matching import _two_smallest, nn_to_index_pairs, pairwise_sq_dists
 
 
 def _block_two_nn(d_query, d_train, vq, vt):
@@ -44,76 +49,60 @@ def _block_two_nn(d_query, d_train, vq, vt):
     )(d_query, vq)
 
 
-@partial(jax.jit, static_argnames=("mesh", "ratio"))
+@partial(jax.jit, static_argnames=("mesh", "max_matches", "ratio"))
 def ring_exhaustive_match(
     mesh: Mesh,
     desc: jnp.ndarray,    # (F, K, D) — F divisible by mesh size
     valid: jnp.ndarray,   # (F, K)
+    max_matches: int,
     ratio: float = 0.75,
 ):
-    """All-pairs ratio-test matching with ring communication.
+    """All-pairs ratio-test matching with ring communication and per-pair
+    device-side compaction.
 
-    Returns (nn (F, F, K) int32, accept (F, F, K) bool): for every ordered
-    frame pair (i train, j query), the matched index in frame i of each
-    feature of frame j (with the Lowe test applied). The caller keeps the
-    i < j triangle. Device d computes the block rows it owns; blocks travel
-    the ring so each pair of blocks meets once.
+    Returns (idx0, idx1, mask) of global shape (nd, Bf, F, M): entry
+    [s, q, t] holds the compact matches of query frame `src(s, t//Bf)·Bf + q`
+    against train frame t, where src(s, d) = (d − s) mod nd is the origin of
+    the block resident on device d at ring step s. idx0 indexes the train
+    frame's features, idx1 the query frame's (the matcher's reversed
+    query/train convention). The train axis stays sharded.
     """
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
     F, K, D = desc.shape
     Bf = F // nd
 
+    compact = jax.vmap(
+        jax.vmap(lambda n, a: nn_to_index_pairs(n, a, K, max_matches))
+    )
+
     def body(local_desc, local_valid):
-        # local block stays resident (the "query"/train side); a copy
-        # rotates around the ring.
         rot_desc = local_desc
         rot_valid = local_valid
-        outs_m1, outs_m2, outs_nn = [], [], []
+        outs = []
         for step in range(nd):
-            # match queries = rotating block against train = local block
+            # queries = rotating block, train = local block
             m1, m2, nn = _block_two_nn(
                 rot_desc, local_desc, rot_valid, local_valid
             )
-            outs_m1.append(m1)
-            outs_m2.append(m2)
-            outs_nn.append(nn)
+            accept = (m1 < (ratio * ratio) * m2) & jnp.isfinite(m1)
+            outs.append(compact(nn.astype(jnp.int32), accept))
             if step + 1 < nd:
                 perm = [(i, (i + 1) % nd) for i in range(nd)]
                 rot_desc = jax.lax.ppermute(rot_desc, axis, perm)
                 rot_valid = jax.lax.ppermute(rot_valid, axis, perm)
-        # (nd, Bf_query, Bf_train, K)
-        return (
-            jnp.stack(outs_m1), jnp.stack(outs_m2),
-            jnp.stack(outs_nn).astype(jnp.int32),
-        )
+        i0 = jnp.stack([o[0] for o in outs])  # (nd, Bf_q, Bf_t, M)
+        i1 = jnp.stack([o[1] for o in outs])
+        mk = jnp.stack([o[2] for o in outs])
+        return i0, i1, mk
 
     spec = P(axis)
-    m1s, m2s, nns = jax.shard_map(
+    out_spec = P(None, None, axis)
+    return jax.shard_map(
         body, mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(P(None, None, axis), P(None, None, axis), P(None, None, axis)),
+        out_specs=(out_spec, out_spec, out_spec),
     )(desc.reshape(F, K, D), valid)
-    # m1s: (nd steps, Bf_query, F_train, K) with the train axis sharded; the
-    # query block at (step, device d) is the block originally on device
-    # (d − step) mod nd.
-    accept = (m1s < (ratio * ratio) * m2s) & jnp.isfinite(m1s)
-
-    # Reassemble into (F_query, F_train, K) on the host view.
-    nn_full = jnp.zeros((F, F, K), jnp.int32)
-    acc_full = jnp.zeros((F, F, K), bool)
-    for step in range(nd):
-        for d in range(nd):
-            src = (d - step) % nd  # owner of the rotating (query) block
-            q0 = src * Bf
-            t0 = d * Bf
-            nn_full = nn_full.at[q0:q0 + Bf, t0:t0 + Bf].set(
-                nns[step, :, t0:t0 + Bf]
-            )
-            acc_full = acc_full.at[q0:q0 + Bf, t0:t0 + Bf].set(
-                accept[step, :, t0:t0 + Bf]
-            )
-    return nn_full, acc_full
 
 
 def ring_match_pairs(
@@ -125,26 +114,27 @@ def ring_match_pairs(
 ):
     """Host wrapper: ring sweep → compact (pair_i, pair_j, idx0, idx1, mask)
     tables for the i < j pairs, matching pad_match_table's layout."""
-    from ..ops.matching import nn_to_index_pairs
-
     F, K, _ = desc.shape
     nd = mesh.shape[mesh.axis_names[0]]
     pad = (-F) % nd
     if pad:
         desc = np.concatenate([desc, np.zeros((pad,) + desc.shape[1:], desc.dtype)])
         valid = np.concatenate([valid, np.zeros((pad, K), bool)])
-    nn, accept = ring_exhaustive_match(
-        mesh, jnp.asarray(desc, jnp.float32), jnp.asarray(valid), ratio
+    Fp = F + pad
+    Bf = Fp // nd
+    i0_all, i1_all, mk_all = ring_exhaustive_match(
+        mesh, jnp.asarray(desc, jnp.float32), jnp.asarray(valid),
+        max_matches, ratio,
     )
     pair_i, pair_j = np.triu_indices(F, k=1)
     # queries are frame j features matched into frame i (the matcher's
-    # reversed query/train convention)
-    nn_sel = nn[pair_j, pair_i]      # (P, K)
-    acc_sel = accept[pair_j, pair_i]
-    i0, i1, mask = jax.vmap(
-        lambda n, a: nn_to_index_pairs(n, a, K, max_matches)
-    )(nn_sel, acc_sel)
+    # reversed query/train convention): the (j → i) result lives at ring step
+    # s = (block(i) − block(j)) mod nd, query row j % Bf, train column i.
+    step = (pair_i // Bf - pair_j // Bf) % nd
+    i0 = jnp.asarray(i0_all)[step, pair_j % Bf, pair_i]
+    i1 = jnp.asarray(i1_all)[step, pair_j % Bf, pair_i]
+    mk = jnp.asarray(mk_all)[step, pair_j % Bf, pair_i]
     return (
         pair_i.astype(np.int32), pair_j.astype(np.int32),
-        np.asarray(i0), np.asarray(i1), np.asarray(mask),
+        np.asarray(i0), np.asarray(i1), np.asarray(mk),
     )

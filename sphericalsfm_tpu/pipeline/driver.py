@@ -184,6 +184,9 @@ def run_calibrated(
         inward=cfg.inward,
         num_hypotheses=cfg.ransac.num_hypotheses,
         chunk_size=cfg.ransac.pair_chunk,
+        adaptive=cfg.ransac.adaptive,
+        round_size=cfg.ransac.round_size,
+        confidence=cfg.ransac.confidence,
     )
     keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
     log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)
@@ -341,6 +344,9 @@ def run_uncalibrated(
             inward=cfg.inward,
             num_hypotheses=cfg.ransac.num_hypotheses,
             chunk_size=cfg.ransac.pair_chunk,
+            adaptive=cfg.ransac.adaptive,
+            round_size=cfg.ransac.round_size,
+            confidence=cfg.ransac.confidence,
         )
     keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
     log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)

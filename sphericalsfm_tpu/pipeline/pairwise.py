@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.pose import Intrinsics, pixels_to_rays
-from ..ransac.spherical import spherical_ransac
+from ..ransac.spherical import spherical_ransac, spherical_ransac_adaptive
 
 
 class PairwiseResult(NamedTuple):
@@ -71,11 +71,21 @@ def estimate_pairwise(
     inward: bool = False,
     num_hypotheses: int = 1024,
     chunk_size: int = 64,
+    adaptive: bool = True,
+    round_size: int = 128,
+    confidence: float = 0.99,
 ) -> PairwiseResult:
     """Estimate spherical relative poses for every candidate pair.
 
     The squared MSAC threshold is (px_thresh·K⁻¹₀₀)² like the reference
-    (spherical_sfm_tools.cpp:315).
+    (spherical_sfm_tools.cpp:315). With `adaptive`, each chunk of pairs runs
+    round_size-hypothesis rounds under the RansacLib termination bound
+    (ransac.h:158-240) instead of the full static `num_hypotheses` budget.
+
+    All chunks are dispatched before any result is fetched (the device queue
+    stays full; one host sync at the end instead of one per chunk — the axon
+    tunnel charges ~30 ms per blocking fetch), and the pair axis is padded to
+    a whole number of chunks so every chunk hits the same compiled shape.
     """
     P, Nmax = idx0.shape
     if P == 0:
@@ -95,28 +105,50 @@ def estimate_pairwise(
     v = pixels_to_rays(uv1, intrinsics)
     mask = jnp.asarray(match_mask)
 
-    run = jax.vmap(
-        lambda k, uu, vv, mm: spherical_ransac(
-            k, uu, vv, mm,
-            sq_thresh=jnp.asarray(sq_thresh),
-            num_hypotheses=num_hypotheses,
-            inward=inward,
+    if adaptive:
+        max_rounds = max(1, -(-num_hypotheses // round_size))
+        run = jax.vmap(
+            lambda k, uu, vv, mm: spherical_ransac_adaptive(
+                k, uu, vv, mm,
+                sq_thresh=jnp.asarray(sq_thresh),
+                round_size=round_size,
+                max_rounds=max_rounds,
+                confidence=confidence,
+                inward=inward,
+            )
         )
-    )
+    else:
+        run = jax.vmap(
+            lambda k, uu, vv, mm: spherical_ransac(
+                k, uu, vv, mm,
+                sq_thresh=jnp.asarray(sq_thresh),
+                num_hypotheses=num_hypotheses,
+                inward=inward,
+            )
+        )
 
-    keys = jax.random.split(key, P)
-    rs, Es, ninl, inl = [], [], [], []
-    for s in range(0, P, chunk_size):
-        e = min(s + chunk_size, P)
-        res = run(keys[s:e], u[s:e], v[s:e], mask[s:e])
-        rs.append(np.asarray(res.r))
-        Es.append(np.asarray(res.E))
-        ninl.append(np.asarray(res.num_inliers))
-        inl.append(np.asarray(res.inlier_mask))
-    r = np.concatenate(rs)
-    E = np.concatenate(Es)
-    num_inliers = np.concatenate(ninl)
-    inlier_mask = np.concatenate(inl)
+    # pad the pair axis so every chunk compiles to one shape
+    n_chunks = -(-P // chunk_size)
+    Ppad = n_chunks * chunk_size
+
+    def pad(x, fill=0):
+        if x.shape[0] == Ppad:
+            return x
+        widths = [(0, Ppad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    keys = pad(jax.random.split(key, P))
+    u_p, v_p, mask_p = pad(u), pad(v), pad(mask, fill=False)
+
+    chunks = []
+    for s in range(0, Ppad, chunk_size):
+        e = s + chunk_size
+        chunks.append(run(keys[s:e], u_p[s:e], v_p[s:e], mask_p[s:e]))
+    # single host sync after the whole sweep is queued
+    r = np.concatenate([np.asarray(c.r) for c in chunks])[:P]
+    E = np.concatenate([np.asarray(c.E) for c in chunks])[:P]
+    num_inliers = np.concatenate([np.asarray(c.num_inliers) for c in chunks])[:P]
+    inlier_mask = np.concatenate([np.asarray(c.inlier_mask) for c in chunks])[:P]
 
     enough_matches = match_mask.sum(axis=1) >= min_num_inliers
     keep = (num_inliers > min_num_inliers) & enough_matches

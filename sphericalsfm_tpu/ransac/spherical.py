@@ -159,3 +159,99 @@ def spherical_ransac(
         inlier_mask=inliers,
         num_inliers=jnp.sum(inliers),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "round_size", "max_rounds", "confidence", "inward",
+        "final_least_squares", "refine_iters",
+    ),
+)
+def spherical_ransac_adaptive(
+    key: jax.Array,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+    sq_thresh: jnp.ndarray,
+    round_size: int = 128,
+    max_rounds: int = 8,
+    confidence: float = 0.99,
+    inward: bool = False,
+    final_least_squares: bool = True,
+    refine_iters: int = 25,
+) -> SphericalRansacResult:
+    """Adaptive round-based spherical RANSAC.
+
+    Hypotheses are generated in rounds of `round_size`; after each round the
+    RansacLib termination bound — iterations needed so an all-inlier minimal
+    triple was drawn with `confidence`, log(1−p)/log(1−ρ³) recomputed from
+    the best inlier ratio (ransac.h:158-240, utils.h:110-140) — decides
+    device-side whether another round runs. Under `vmap` the while_loop runs
+    until every lane in the batch is finished, so a chunk of easy high-inlier
+    pairs stops after one round instead of burning the full static budget
+    (the static engine always spends round_size × max_rounds).
+    """
+    import math
+
+    n_valid = jnp.maximum(jnp.sum(mask), 3)
+    log1mp = math.log(max(1.0 - confidence, 1e-12))
+
+    def hyps_needed(inliers):
+        rho = jnp.sum(inliers) / n_valid
+        w3 = jnp.clip(rho, 0.0, 1.0) ** 3
+        denom = jnp.log1p(-jnp.minimum(w3, 1.0 - 1e-9))
+        return jnp.where(w3 > 0, log1mp / denom, jnp.inf)
+
+    dtype = u.dtype
+
+    def body(s):
+        k, E_best, score, inliers, done_h, rnd = s
+        k, kr = jax.random.split(k)
+        triples = sample_tuples(kr, mask, round_size, 3)
+        Es, valid = solve_spherical_3pt(u[triples], v[triples])
+        Es = Es.reshape(-1, 3, 3)
+        valid = valid.reshape(-1)
+        errs = sampson_error(Es[:, None], u[None], v[None])[:, 0]
+        b, sc, inl = best_model(errs, valid, sq_thresh, mask)
+        better = sc < score
+        E_best = jnp.where(better, Es[b], E_best)
+        score = jnp.where(better, sc, score)
+        inliers = jnp.where(better, inl, inliers)
+        return k, E_best, score, inliers, done_h + round_size, rnd + 1
+
+    def cond(s):
+        _, _, _, inliers, done_h, rnd = s
+        return (rnd < max_rounds) & (done_h < hyps_needed(inliers))
+
+    state0 = (
+        key,
+        jnp.zeros((3, 3), dtype),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.zeros(mask.shape, bool),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, E_best, score, inliers, *_ = jax.lax.while_loop(cond, body, state0)
+
+    r, t = decompose_spherical_essential(E_best, inward=inward)
+    if final_least_squares:
+        w = inliers.astype(dtype)
+        r_ref = _refine_rotation(r, u, v, w, inward, refine_iters)
+        E_ref = make_spherical_essential(so3_exp(r_ref), inward=inward)
+        errs_ref = sampson_error(E_ref, u, v)
+        score_ref = msac_score(errs_ref, sq_thresh, mask)
+        better = score_ref < score
+        E_best = jnp.where(better, E_ref, E_best)
+        score = jnp.where(better, score_ref, score)
+        inliers = jnp.where(better, (errs_ref < sq_thresh) & mask, inliers)
+        r, t = decompose_spherical_essential(E_best, inward=inward)
+
+    return SphericalRansacResult(
+        E=E_best,
+        r=r,
+        t=t,
+        score=score,
+        inlier_mask=inliers,
+        num_inliers=jnp.sum(inliers),
+    )

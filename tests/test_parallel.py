@@ -134,3 +134,34 @@ def test_ring_matching_equals_dense():
     np.testing.assert_array_equal(mk, np.asarray(mk_ref))
     np.testing.assert_array_equal(i0[mk], np.asarray(i0_ref)[np.asarray(mk_ref)])
     np.testing.assert_array_equal(i1[mk], np.asarray(i1_ref)[np.asarray(mk_ref)])
+
+
+def test_ring_matching_compact_scale():
+    """Device-side compaction keeps the sweep at O(F²·M): a F=64, K=256
+    sweep yields compact tables (the pre-compaction dense field would be
+    F²·K); exactness spot-checked on a pair subset."""
+    from sphericalsfm_tpu.ops.matching import match_pairs_compact_batched
+    from sphericalsfm_tpu.parallel.ring_matching import ring_match_pairs
+
+    rng = np.random.default_rng(1)
+    F, K, D, M = 64, 256, 64, 128
+    desc = rng.normal(size=(F, K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    valid = np.ones((F, K), bool)
+
+    mesh = make_mesh(8)
+    pi, pj, i0, i1, mk = ring_match_pairs(mesh, desc, valid, max_matches=M)
+    assert i0.shape == (F * (F - 1) // 2, M)
+
+    sel = np.arange(0, len(pi), 97)  # spot-check a spread of pairs
+    dj = jnp.asarray(desc)
+    vj = jnp.asarray(valid)
+    i0_ref, i1_ref, mk_ref = match_pairs_compact_batched(
+        dj[pi[sel]], dj[pj[sel]], vj[pi[sel]], vj[pj[sel]], M,
+        use_pallas=False,
+    )
+    np.testing.assert_array_equal(mk[sel], np.asarray(mk_ref))
+    np.testing.assert_array_equal(i0[sel][mk[sel]],
+                                  np.asarray(i0_ref)[np.asarray(mk_ref)])
+    np.testing.assert_array_equal(i1[sel][mk[sel]],
+                                  np.asarray(i1_ref)[np.asarray(mk_ref)])

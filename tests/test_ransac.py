@@ -135,3 +135,60 @@ def test_triangulation_ransac_too_few():
     )
     assert not bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.X), 0.0)
+
+
+def test_spherical_ransac_adaptive_matches_static():
+    """Adaptive round-based termination (RansacLib bound, VERDICT item 3)
+    reaches the same accuracy as the static full-budget engine, on clean and
+    30%-outlier problems."""
+    from sphericalsfm_tpu.ransac.spherical import spherical_ransac_adaptive
+
+    B = 12
+    prob = make_random_problems(
+        jax.random.PRNGKey(5), batch=B, num_corr=128, rotation_deg=3.0,
+        point_noise=1.0 / FOCAL,
+    )
+    prob_o, is_out = _corrupt(jax.random.PRNGKey(6), prob, 0.3)
+    sq_thresh = jnp.asarray((2.0 / FOCAL) ** 2)
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    for pr in (prob, prob_o):
+        res_s = jax.vmap(
+            lambda k, uu, vv, mm: spherical_ransac(
+                k, uu, vv, mm, sq_thresh=sq_thresh, num_hypotheses=1024,
+            )
+        )(keys, pr.u, pr.v, pr.valid)
+        res_a = jax.vmap(
+            lambda k, uu, vv, mm: spherical_ransac_adaptive(
+                k, uu, vv, mm, sq_thresh=sq_thresh, round_size=128,
+                max_rounds=8,
+            )
+        )(keys, pr.u, pr.v, pr.valid)
+        err_s = np.median(np.asarray(rotation_error_deg(so3_exp(res_s.r), pr.R)))
+        err_a = np.median(np.asarray(rotation_error_deg(so3_exp(res_a.r), pr.R)))
+        assert err_a < max(2 * err_s, 0.2), (err_a, err_s)
+        # inlier recovery comparable
+        assert np.median(np.asarray(res_a.num_inliers)) > 0.8 * np.median(
+            np.asarray(res_s.num_inliers)
+        )
+
+
+def test_adaptive_termination_bound():
+    """At ~100% inliers one 128-hypothesis round satisfies the 0.99-confidence
+    bound; the estimate must already be tight (indirect early-exit check:
+    round 1 output is final because the bound says stop)."""
+    from sphericalsfm_tpu.ransac.spherical import spherical_ransac_adaptive
+
+    prob = make_random_problems(
+        jax.random.PRNGKey(8), batch=4, num_corr=128, rotation_deg=3.0,
+        point_noise=0.2 / FOCAL,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    res = jax.vmap(
+        lambda k, uu, vv, mm: spherical_ransac_adaptive(
+            k, uu, vv, mm, sq_thresh=jnp.asarray((2.0 / FOCAL) ** 2),
+            round_size=128, max_rounds=1,  # forced single round
+        )
+    )(keys, prob.u, prob.v, prob.valid)
+    errs = np.asarray(rotation_error_deg(so3_exp(res.r), prob.R))
+    assert np.median(errs) < 0.2, errs

@@ -145,3 +145,200 @@ def svd3_rank2(E: jnp.ndarray):
     s = jnp.stack([s0, s1, jnp.zeros_like(s0)], axis=-1)
     V = jnp.stack([v0, v1, v2], axis=-1)
     return U, s, jnp.swapaxes(V, -1, -2)
+
+
+def _balance(M: jnp.ndarray, sweeps: int = 4) -> tuple:
+    """Diagonal similarity balancing (row/col norm equalization).
+
+    Returns (M_balanced, d) with M_b = D⁻¹ M D, D = diag(d). Improves the
+    convergence and f32 conditioning of the QR eigenvalue iteration below.
+    """
+    n = M.shape[-1]
+    d = jnp.ones(M.shape[:-1], M.dtype)
+    eye = jnp.eye(n, dtype=bool)
+
+    def fro2(dd):
+        Mb = M * dd[..., None, :] / dd[..., :, None]
+        return Mb, jnp.sum(Mb * Mb, axis=(-2, -1))
+
+    for _ in range(sweeps):
+        Mb, f0 = fro2(d)
+        off = jnp.where(eye, 0.0, Mb)
+        r = jnp.sqrt(jnp.sum(off * off, axis=-1))  # off-diag row norms
+        c = jnp.sqrt(jnp.sum(off * off, axis=-2))  # off-diag col norms
+        s = jnp.where(
+            (r > 1e-30) & (c > 1e-30),
+            jnp.sqrt(jnp.maximum(c, 1e-30) / jnp.maximum(r, 1e-30)),
+            1.0,
+        )
+        d_new = d * jnp.clip(s, 0.1, 10.0)
+        # accept a sweep only where it shrinks the matrix — simultaneous
+        # Osborne updates can diverge on structured (unit-row) matrices
+        _, f1 = fro2(d_new)
+        better = (f1 < f0)[..., None]
+        d = jnp.where(better, d_new, d)
+    Mb = M * d[..., None, :] / d[..., :, None]
+    return Mb, d
+
+
+def eig_real_batched(M: jnp.ndarray, aberth_iters: int = 60,
+                     inv_iters: int = 4):
+    """Real eigenpairs of small nonsymmetric matrices, TPU-capable.
+
+    jnp.linalg.eig is CPU-only; this replacement runs everywhere. The
+    eigenvalues are the roots of p(z) = det(M − zI); all n of them (complex
+    included) are found simultaneously by Aberth–Ehrlich iteration — the
+    globally-convergent simultaneous root finder with built-in pairwise
+    repulsion — using the numerically stable trace form
+    p/p' = −1/tr((M − zI)⁻¹). The complex linear solve is a real 2n×2n
+    embedding [[Aᵣ, −Aᵢ],[Aᵢ, Aᵣ]] through QR (no LU, no complex linalg —
+    both TPU constraints). Real roots then get null vectors from QR-clamped
+    inverse iteration plus a bordered-system eigenpair Newton polish.
+
+    M (..., n, n) → (lam (..., n), V (..., n, n) column eigenvectors,
+    valid (..., n)). Invalid (complex/failed) slots are zeroed. Accuracy
+    ~machine eps of the input dtype for well-separated real eigenvalues.
+    """
+    n = M.shape[-1]
+    dtype = M.dtype
+    feps = float(jnp.finfo(dtype).eps)
+    flatM = M.reshape((-1, n, n))
+    B = flatM.shape[0]
+    eye = jnp.eye(n, dtype=dtype)
+
+    # scale by the Gershgorin-style eigenvalue bound so roots live in O(1)
+    R_bound = jnp.max(jnp.sum(jnp.abs(flatM), axis=-1), axis=-1)  # (B,)
+    R_bound = jnp.maximum(R_bound, 1e-30)
+    Mn = flatM / R_bound[:, None, None]
+
+    # complex trace form: N(z) = p/p' = −1/tr((Mn − zI)⁻¹), via the real
+    # embedding E = [[A, y·I],[−y·I, A]] of C = (Mn − xI) − iyI … with
+    # A = Mn − xI; E⁻¹ = [[Xᵣ, −Xᵢ],[Xᵢ, Xᵣ]], X = C⁻¹.
+    def newton_ratio(Mi, zr, zi):
+        A = Mi - zr * eye
+        top = jnp.concatenate([A, zi * eye], axis=-1)
+        bot = jnp.concatenate([-zi * eye, A], axis=-1)
+        E = jnp.concatenate([top, bot], axis=-2)  # (2n, 2n)
+        Q, Rq = jnp.linalg.qr(E)
+        Einv = jax.scipy.linalg.solve_triangular(
+            Rq, jnp.swapaxes(Q, -1, -2), lower=False
+        )
+        tr_r = jnp.trace(Einv[:n, :n])
+        tr_i = jnp.trace(Einv[n:, :n])
+        # N = −1/(tr_r + i·tr_i)
+        d = jnp.maximum(tr_r * tr_r + tr_i * tr_i, 1e-300)
+        return -tr_r / d, tr_i / d
+
+    ratio_all = jax.vmap(jax.vmap(newton_ratio, in_axes=(None, 0, 0)))
+
+    # Aberth–Ehrlich: zᵢ ← zᵢ − Nᵢ / (1 − Nᵢ·Σ_{j≠i} 1/(zᵢ−zⱼ))
+    k = jnp.arange(n, dtype=dtype)
+    ang = 2.0 * jnp.pi * (k + 0.5) / n + 0.4
+    zr0 = jnp.broadcast_to(1.2 * jnp.cos(ang), (B, n))
+    zi0 = jnp.broadcast_to(1.2 * jnp.sin(ang), (B, n))
+
+    def aberth_body(_, zs):
+        zr, zi = zs
+        Nr, Ni = ratio_all(Mn, zr, zi)
+        dr = zr[:, :, None] - zr[:, None, :]
+        di = zi[:, :, None] - zi[:, None, :]
+        d2 = dr * dr + di * di
+        offdiag = ~jnp.eye(n, dtype=bool)
+        d2 = jnp.where(offdiag, jnp.maximum(d2, 1e-24), 1.0)
+        sr = jnp.sum(jnp.where(offdiag, dr / d2, 0.0), axis=-1)
+        si = jnp.sum(jnp.where(offdiag, -di / d2, 0.0), axis=-1)
+        # denom = 1 − N·S
+        den_r = 1.0 - (Nr * sr - Ni * si)
+        den_i = -(Nr * si + Ni * sr)
+        dd = jnp.maximum(den_r * den_r + den_i * den_i, 1e-24)
+        wr = (Nr * den_r + Ni * den_i) / dd
+        wi = (Ni * den_r - Nr * den_i) / dd
+        wr = jnp.clip(jnp.where(jnp.isfinite(wr), wr, 0.0), -0.5, 0.5)
+        wi = jnp.clip(jnp.where(jnp.isfinite(wi), wi, 0.0), -0.5, 0.5)
+        return zr - wr, zi - wi
+
+    zr, zi = jax.lax.fori_loop(0, aberth_iters, aberth_body, (zr0, zi0))
+
+    # keep the real roots; a complex pair grazing the axis would alias into
+    # two near-equal real values, so dedupe representatives as well
+    real_tol = 1e4 * feps
+    is_real = jnp.abs(zi) < real_tol * (1.0 + jnp.abs(zr))
+    dedupe_tol = 1e4 * feps
+    skey = jnp.where(is_real, zr, jnp.inf)
+    s_sorted = jnp.sort(skey, axis=-1)
+    fresh = jnp.ones_like(s_sorted, bool).at[..., 1:].set(
+        (s_sorted[..., 1:] - s_sorted[..., :-1])
+        > dedupe_tol * (1.0 + jnp.abs(s_sorted[..., 1:]))
+    )
+    fresh = fresh & jnp.isfinite(s_sorted)
+    comp = jnp.argsort(~fresh, axis=-1, stable=True)[..., :n]
+    lam_c = jnp.take_along_axis(s_sorted, comp, axis=-1)  # (B, n)
+    lam_ok = jnp.take_along_axis(fresh, comp, axis=-1)
+    lam_c = jnp.where(lam_ok, lam_c, 0.0)
+
+    # Inverse iteration for null vectors of A = Mn − λI via QR with a
+    # clamped R diagonal (forming AᵀA would square away the gap between
+    # σ_min ~ 0 and the next small singular values of near-defective cases).
+    A = Mn[:, None] - lam_c[..., None, None] * eye  # (B, n, n, n)
+    Qa, Ra = jnp.linalg.qr(A)
+    diagR = jnp.diagonal(Ra, axis1=-2, axis2=-1)
+    delta = 10.0 * feps * jnp.maximum(
+        jnp.max(jnp.abs(diagR), axis=-1, keepdims=True), 1e-30
+    )
+    sgn = jnp.where(diagR < 0, -1.0, 1.0)
+    clamped = jnp.where(jnp.abs(diagR) < delta, sgn * delta, diagR)
+    Rsafe = Ra + (clamped - diagR)[..., None] * eye
+    v = jnp.ones(A.shape[:-1], dtype)  # (B, n, n)
+    for _ in range(inv_iters):
+        y = jnp.einsum("bkji,bkj->bki", Qa, v)  # Qᵀ v
+        v = jax.scipy.linalg.solve_triangular(
+            Rsafe, y[..., None], lower=False
+        )[..., 0]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+    # Joint eigenpair Newton polish on the bordered system
+    # [[M−λI, −v], [vᵀ, 0]]·[dv; dλ] = [−(M−λI)v; 0]: non-normal matrices
+    # amplify the remaining λ error into the vector — two exact Newton steps
+    # take the pair to machine precision.
+    def polish(Mi, lam_i, v_i):
+        for _ in range(2):
+            Ai = Mi - lam_i * eye
+            r_i = Ai @ v_i
+            top = jnp.concatenate([Ai, -v_i[:, None]], axis=1)
+            bot = jnp.concatenate(
+                [v_i[None, :], jnp.zeros((1, 1), dtype)], axis=1
+            )
+            J = jnp.concatenate([top, bot], axis=0)
+            rhs = jnp.concatenate([-r_i, jnp.zeros((1,), dtype)])
+            Qj, Rj = jnp.linalg.qr(J)
+            dx = jax.scipy.linalg.solve_triangular(
+                Rj, Qj.T @ rhs, lower=False
+            )
+            ok = jnp.all(jnp.isfinite(dx))
+            v_i = jnp.where(ok, v_i + dx[:n], v_i)
+            v_i = v_i / jnp.maximum(jnp.linalg.norm(v_i), 1e-30)
+            lam_i = jnp.where(ok, lam_i + dx[n], lam_i)
+        return lam_i, v_i
+
+    flatL2, v = jax.vmap(jax.vmap(polish, in_axes=(None, 0, 0)))(
+        Mn, lam_c, v
+    )
+    moved = jnp.abs(flatL2 - lam_c) < 1e5 * feps * (1.0 + jnp.abs(lam_c))
+    lam_c = jnp.where(moved, flatL2, lam_c)  # reject runaway polish steps
+
+    # validity: v really is a null vector of A (scale-aware residual)
+    A = Mn[:, None] - lam_c[..., None, None] * eye
+    res = jnp.linalg.norm(jnp.einsum("bkij,bkj->bki", A, v), axis=-1)
+    matn = jnp.sqrt(jnp.sum(Mn * Mn, axis=(-2, -1)) / n)[:, None]
+    valid = (
+        (res < 1e2 * feps ** 0.5 * (1.0 + matn))
+        & lam_ok
+        & jnp.isfinite(lam_c)
+    )
+
+    lam_out = (lam_c * R_bound[:, None]).reshape(M.shape[:-1])
+    V = jnp.swapaxes(v, -1, -2).reshape(M.shape)  # columns = eigenvectors
+    valid = valid.reshape(M.shape[:-1])
+    lam_out = jnp.where(valid, lam_out, 0.0)
+    V = jnp.where(valid[..., None, :], V, 0.0)
+    return lam_out, V, valid

@@ -38,7 +38,10 @@ class GeneralRansacResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("num_hypotheses", "final_least_squares", "refine_iters"),
+    static_argnames=(
+        "num_hypotheses", "final_least_squares", "refine_iters",
+        "solver_method",
+    ),
 )
 def general_essential_ransac(
     key: jax.Array,
@@ -49,9 +52,12 @@ def general_essential_ransac(
     num_hypotheses: int = 256,
     final_least_squares: bool = True,
     refine_iters: int = 20,
+    solver_method: str = "auto",
 ) -> GeneralRansacResult:
     samples = sample_tuples(key, mask, num_hypotheses, 5)  # (M, 5)
-    Es, valid = solve_essential_5pt(u[samples], v[samples])  # (M, 10, 3, 3)
+    Es, valid = solve_essential_5pt(
+        u[samples], v[samples], method=solver_method
+    )  # (M, 10, 3, 3)
     Es = Es.reshape(-1, 3, 3)
     valid = valid.reshape(-1)
     errs = sampson_error(Es[:, None], u[None], v[None])[:, 0]

@@ -24,6 +24,8 @@ class FrontendConfig:
     max_matches_per_pair: int = 1024
     detector: str = "tpu"              # "tpu" (DoG/SIFT kernel) or "opencv"
     frame_stride: int = 1
+    matching: str = "exhaustive"       # "exhaustive" O(F²) | "windows" O(F):
+    adjacent_window: int = 3           # adjacent band width in windows mode
 
 
 @dataclass
@@ -54,6 +56,9 @@ class FocalSearchConfig:
     num_trials: int = 1024
     min_focal_factor: float = 0.25     # guess/4
     max_focal_factor: float = 2.0      # guess*2
+    strategy: str = "random"           # random | grid | opt (bracketed)
+    cost: str = "loop"                 # loop | total_rotation
+    grid_steps: int = 64               # grid strategy resolution
 
 
 @dataclass

@@ -169,17 +169,21 @@ def relpose_comparison(
     the reference's test_spherical_relpose comparison benchmark
     (examples/test_spherical_relpose.cpp:596-631), as one CSV.
 
-    The 5-pt path needs a CPU backend (general eig)."""
+    The 5-pt eig path prefers a CPU backend (auto-dispatches a QR
+    eigensolver elsewhere); the 8-pt DLT baseline matches the reference's
+    `eightpt` comparison column (test_spherical_relpose.cpp:596-631)."""
+    from ..solvers.eight_point import solve_essential_8pt
     from ..solvers.five_point import solve_essential_5pt
 
     solve3 = jax.jit(solve_spherical_3pt)
     solve5 = jax.jit(solve_essential_5pt)
+    solve8 = jax.jit(solve_essential_8pt)
     rows = []
     for a_i, angle in enumerate(angles_deg):
         for n_i, noise in enumerate(noises_px):
             prob = make_random_problems(
                 jax.random.PRNGKey(seed + 100 * a_i + n_i), batch=trials,
-                num_corr=5, rotation_deg=angle, point_noise=noise / FOCAL,
+                num_corr=8, rotation_deg=angle, point_noise=noise / FOCAL,
             )
             ok = np.asarray(jnp.all(prob.valid, -1))
 
@@ -187,14 +191,19 @@ def relpose_comparison(
             f3 = jnp.where(v3, frobenius_error(Es3, prob.E[:, None]), jnp.inf)
             med3 = float(np.median(np.asarray(jnp.min(f3, -1))[ok]))
 
-            Es5, v5 = solve5(prob.u, prob.v)
+            Es5, v5 = solve5(prob.u[:, :5], prob.v[:, :5])
             f5 = jnp.where(v5, frobenius_error(Es5, prob.E[:, None]), jnp.inf)
             med5 = float(np.median(np.asarray(jnp.min(f5, -1))[ok]))
+
+            Es8, v8 = solve8(prob.u, prob.v)
+            f8 = jnp.where(v8, frobenius_error(Es8, prob.E), jnp.inf)
+            med8 = float(np.median(np.asarray(f8)[ok]))
 
             rows.append({
                 "rotation_deg": angle, "noise_px": noise,
                 "median_frob_spherical_3pt": med3,
                 "median_frob_general_5pt": med5,
+                "median_frob_normalized_8pt": med8,
             })
     _write_csv(out_csv, rows)
     return rows

@@ -484,6 +484,159 @@ def loop_constraint_costs(
     return jax.vmap(cost_of)(focals)
 
 
+@partial(jax.jit, static_argnames=("num_frames", "inward"))
+def total_rotation_costs(
+    focals: jnp.ndarray,
+    focal_guess: jnp.ndarray,
+    E_mats: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    edge_j: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_frames: int,
+    inward: bool = False,
+    tree=None,
+) -> jnp.ndarray:
+    """|2π − Σ‖log(R_iᵀR_{i−1})‖| of each focal hypothesis — the reference's
+    alternative focal cost (total_rotation_cost_fn,
+    spherical_sfm_tools.cpp:1084-1116): a closed circular capture should
+    accumulate exactly one full turn over consecutive keyframes."""
+
+    def cost_of(f):
+        r_f = rotations_at_focal(E_mats, f / focal_guess, inward)
+        g = RotationGraph(edge_i=edge_i, edge_j=edge_j, r_meas=r_f, edge_w=edge_w)
+        if tree is None:
+            rots = initialize_rotations_sequential(num_frames, g)
+        else:
+            rots = initialize_rotations_tree(num_frames, g, *tree)
+        R = so3_exp(rots)
+        rel = jnp.einsum("nji,njk->nik", R[1:], R[:-1])  # R_iᵀ R_{i−1}
+        total = jnp.sum(jnp.linalg.norm(so3_log(rel), axis=-1))
+        return jnp.abs(2.0 * jnp.pi - total)
+
+    return jax.vmap(cost_of)(focals)
+
+
+def _focal_costs(cost: str):
+    if cost == "total_rotation":
+        return total_rotation_costs
+    return loop_constraint_costs
+
+
+def _make_tree(sequential, num_frames, edge_i, edge_j, edge_w):
+    if sequential:
+        return None
+    import numpy as np
+
+    parent, eidx, sign = build_spanning_tree(
+        num_frames, np.asarray(edge_i), np.asarray(edge_j), np.asarray(edge_w)
+    )
+    return (jnp.asarray(parent), jnp.asarray(eidx), jnp.asarray(sign))
+
+
+def find_best_focal_grid(
+    focal_guess,
+    E_mats: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    edge_j: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_frames: int,
+    min_focal,
+    max_focal,
+    num_steps: int = 64,
+    inward: bool = False,
+    sequential: bool = True,
+    cost: str = "loop",
+):
+    """Uniform-grid focal search (reference find_best_focal_length_grid,
+    spherical_sfm_tools.cpp:1321-1416): `num_steps` evenly spaced
+    hypotheses, one vmapped sweep. Returns (best_focal, costs, focals)."""
+    dtype = E_mats.dtype
+    focals = jnp.linspace(
+        jnp.asarray(min_focal, dtype), jnp.asarray(max_focal, dtype), num_steps
+    )
+    tree = _make_tree(sequential, num_frames, edge_i, edge_j, edge_w)
+    costs = _focal_costs(cost)(
+        focals, jnp.asarray(focal_guess, dtype), E_mats, edge_i, edge_j,
+        edge_w, num_frames, inward, tree,
+    )
+    best = jnp.argmin(jnp.where(jnp.isfinite(costs), costs, jnp.inf))
+    return focals[best], costs, focals
+
+
+def find_best_focal_bracketed(
+    key: jax.Array,
+    focal_guess,
+    E_mats: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    edge_j: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_frames: int,
+    min_focal,
+    max_focal,
+    rounds: int = 6,
+    points_per_round: int = 16,
+    inward: bool = False,
+    sequential: bool = True,
+    cost: str = "loop",
+    max_restarts: int = 100,
+):
+    """Bracketed 1-D focal minimization (reference
+    find_best_focal_length_opt, spherical_sfm_tools.cpp:1191-1319: GSL Brent
+    with a random-restart bracketing precondition). TPU-shaped variant:
+    instead of one point per sequential Brent step, each round evaluates a
+    vmapped sub-grid inside the bracket and shrinks around its argmin —
+    same O(log) convergence, `rounds` device calls total.
+
+    Returns (best_focal, ok) — ok False when no valid bracket was found
+    (mirrors the reference's error return).
+    """
+    import numpy as np
+
+    dtype = E_mats.dtype
+    fg = jnp.asarray(focal_guess, dtype)
+    tree = _make_tree(sequential, num_frames, edge_i, edge_j, edge_w)
+    costs_fn = _focal_costs(cost)
+
+    def eval_costs(fs):
+        return np.asarray(
+            costs_fn(
+                jnp.asarray(fs, dtype), fg, E_mats, edge_i, edge_j, edge_w,
+                num_frames, inward, tree,
+            )
+        )
+
+    lo, hi = float(min_focal), float(max_focal)
+    # bracketing precondition: the interior point must beat both ends
+    # (random restarts like the reference's 100-retry loop)
+    mid = float(focal_guess)
+    end_costs = eval_costs([lo, hi])
+    mid_cost = eval_costs([mid])[0]
+    tries = 0
+    key = jax.random.fold_in(key, 0)
+    while mid_cost >= min(end_costs):
+        if tries >= max_restarts:
+            return jnp.asarray(mid, dtype), False
+        key, sub = jax.random.split(key)
+        mid = float(
+            lo + (hi - lo) * float(jax.random.uniform(sub, (), jnp.float32))
+        )
+        mid_cost = eval_costs([mid])[0]
+        tries += 1
+
+    a, b = lo, hi
+    for _ in range(rounds):
+        # keep the certified mid in the candidate set so the search stays
+        # attached to its bracketed basin (the reference's Brent does this
+        # implicitly through its (a, m, b) triple)
+        fs = np.sort(np.append(np.linspace(a, b, points_per_round), mid))
+        cs = eval_costs(fs)
+        i = int(np.nanargmin(cs))
+        a = fs[max(i - 1, 0)]
+        b = fs[min(i + 1, len(fs) - 1)]
+        mid = float(fs[i])
+    return jnp.asarray(mid, dtype), True
+
+
 def find_best_focal_random(
     key: jax.Array,
     focal_guess,

@@ -33,6 +33,8 @@ from ..geometry.pose import Intrinsics
 from ..geometry.so3 import so3_exp
 from ..optim.pose_graph import (
     RotationGraph,
+    find_best_focal_bracketed,
+    find_best_focal_grid,
     find_best_focal_random,
     initialize_rotations_global,
     initialize_rotations_sequential,
@@ -127,10 +129,22 @@ def run_frontend(
     log.end(keypoints=int(feats.counts.sum()),
             mean_per_frame=float(feats.counts.mean()))
 
-    log.start("match_exhaustive")
-    pair_i, pair_j = all_pairs(len(gray))
+    log.start("match_pairs")
+    if cfg.frontend.matching == "windows":
+        # O(F) candidate set: adjacent band + begin/end loop windows (the
+        # wiring of the reference's numbegin/numend flags; make_loop_closures
+        # spherical_sfm_tools.cpp:602-734)
+        from .frontend import window_pairs
+
+        pair_i, pair_j = window_pairs(
+            len(gray), cfg.frontend.adjacent_window,
+            cfg.graph.num_frames_begin, cfg.graph.num_frames_end,
+        )
+    else:
+        pair_i, pair_j = all_pairs(len(gray))
     idx0, idx1, mmask = match_pairs(feats, pair_i, pair_j, cfg.frontend)
-    log.end(pairs=len(pair_i), matches=int(mmask.sum()))
+    log.end(pairs=len(pair_i), matches=int(mmask.sum()),
+            mode=cfg.frontend.matching)
     fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
     if cache_path:
         np.savez_compressed(
@@ -144,11 +158,20 @@ def run_frontend(
     return fr
 
 
-def _graph_from_pairwise(fr: FrontendResult, pw, keep, min_rotation_deg):
+def _graph_from_pairwise(fr: FrontendResult, pw, keep, min_rotation_deg,
+                         best_only: bool = False):
     """Kept pairwise estimates → rotation graph edges; drops tiny rotations
-    (the reference's -minrot gate)."""
+    (the reference's -minrot gate). With `best_only`, keep only the single
+    strongest loop-closure (non-adjacent) edge — the reference's -bestonly
+    flag (make_loop_closures, spherical_sfm_tools.cpp:602-734)."""
     rot_mag = np.linalg.norm(pw.r, axis=-1)
     keep = keep & (rot_mag > np.deg2rad(min_rotation_deg))
+    if best_only:
+        loops = keep & (fr.pair_j != fr.pair_i + 1)
+        if loops.any():
+            best = np.argmax(np.where(loops, pw.num_inliers, -1))
+            keep = keep & (~loops)
+            keep[best] = True
     return keep
 
 
@@ -188,7 +211,8 @@ def run_calibrated(
         round_size=cfg.ransac.round_size,
         confidence=cfg.ransac.confidence,
     )
-    keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
+    keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg,
+                                best_only=cfg.graph.best_only)
     log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)
     if pw.loop_closure_count == 0:
         print("warning: no loop closures found")
@@ -348,7 +372,8 @@ def run_uncalibrated(
             round_size=cfg.ransac.round_size,
             confidence=cfg.ransac.confidence,
         )
-    keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg)
+    keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg,
+                                best_only=cfg.graph.best_only)
     log.end(kept_pairs=int(keep.sum()), loop_closures=pw.loop_closure_count)
 
     log.start("largest_component")
@@ -366,16 +391,35 @@ def run_uncalibrated(
     from ..geometry.essential import make_spherical_essential
 
     E_search = make_spherical_essential(so3_exp(jnp.asarray(pw.r)), cfg.inward)
-    best_focal, costs, focals = find_best_focal_random(
-        jax.random.fold_in(key, 10), focal_guess,
-        E_search, jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j),
-        ew, F,
+    search_args = (
+        E_search, jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j), ew, F,
+    )
+    search_kw = dict(
         min_focal=focal_guess * cfg.focal.min_focal_factor,
         max_focal=focal_guess * cfg.focal.max_focal_factor,
-        num_trials=cfg.focal.num_trials,
         inward=cfg.inward,
         sequential=cfg.graph.sequential,
     )
+    # Strategy dispatch (reference find_best_focal_length_{random,grid,opt},
+    # spherical_sfm_tools.cpp:1191-1496; the reference driver uses random).
+    if cfg.focal.strategy == "grid":
+        best_focal, costs, focals = find_best_focal_grid(
+            focal_guess, *search_args, num_steps=cfg.focal.grid_steps,
+            cost=cfg.focal.cost, **search_kw,
+        )
+    elif cfg.focal.strategy == "opt":
+        best_focal, ok = find_best_focal_bracketed(
+            jax.random.fold_in(key, 10), focal_guess, *search_args,
+            cost=cfg.focal.cost, **search_kw,
+        )
+        if not ok:
+            print("warning: focal bracketing failed; keeping the guess "
+                  "(reference: 'try increasing focal bounds')")
+    else:
+        best_focal, costs, focals = find_best_focal_random(
+            jax.random.fold_in(key, 10), focal_guess, *search_args,
+            num_trials=cfg.focal.num_trials, **search_kw,
+        )
     # Joint rotations + focal refinement at the best hypothesis.
     r_best = rotations_at_focal(E_search, best_focal / focal_guess,
                                 cfg.inward)

@@ -174,6 +174,27 @@ def match_pairs(
     return np.concatenate(i0s), np.concatenate(i1s), np.concatenate(ms)
 
 
+def window_pairs(num_frames: int, adjacent_window: int,
+                 num_begin: int = 0, num_end: int = 0):
+    """O(F) candidate pairs: the adjacent band (j − i ≤ window) plus the
+    begin/end loop-closure windows — the matching the reference's
+    numbegin/numend flags were built for, replacing the O(F²) exhaustive
+    sweep on long videos."""
+    pi, pj = [], []
+    for i in range(num_frames):
+        for j in range(i + 1, min(i + 1 + adjacent_window, num_frames)):
+            pi.append(i)
+            pj.append(j)
+    li, lj = loop_closure_pairs(num_frames, num_begin, num_end)
+    seen = set(zip(pi, pj))
+    for i, j in zip(li.tolist(), lj.tolist()):
+        if (i, j) not in seen:
+            pi.append(i)
+            pj.append(j)
+    order = np.lexsort((pj, pi))
+    return (np.asarray(pi, np.int32)[order], np.asarray(pj, np.int32)[order])
+
+
 def loop_closure_pairs(num_frames: int, num_begin: int, num_end: int):
     """Begin-window x end-window candidate pairs, skipping adjacent frames
     (reference make_loop_closures pair enumeration,

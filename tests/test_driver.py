@@ -237,3 +237,43 @@ def test_calibrated_driver_inward(tmp_path_factory):
     centers_gt = -np.einsum("cji,cj->ci", R_gt, cam_t_gt)
     err = float(ate(jnp.asarray(m.centers()), jnp.asarray(centers_gt)))
     assert err < 0.08, err
+
+
+def test_calibrated_driver_windows_matching(tmp_path_factory, capture):
+    """windows matching mode (the wiring of numbegin/numend/bestonly,
+    reference make_loop_closures flags): O(F) candidate pairs still
+    reconstruct the capture; best_only leaves one loop-closure edge."""
+    from sphericalsfm_tpu.config import PipelineConfig
+    from sphericalsfm_tpu.geometry.pose import Intrinsics
+    from sphericalsfm_tpu.pipeline.driver import run_calibrated
+
+    import jax.numpy as jnp
+
+    cam_r_gt, cam_t_gt, gray, color = capture
+    out = str(tmp_path_factory.mktemp("sfm_windows_out"))
+    cfg = PipelineConfig()
+    cfg.frontend.max_keypoints = 512
+    cfg.frontend.max_matches_per_pair = 384
+    cfg.frontend.matching = "windows"
+    cfg.frontend.adjacent_window = 2
+    cfg.graph.num_frames_begin = 3
+    cfg.graph.num_frames_end = 3
+    cfg.ransac.num_hypotheses = 384
+    cfg.ransac.min_num_inliers = 30
+    cfg.ba.max_iters = 60
+
+    intr = Intrinsics(jnp.asarray(FOCAL), jnp.asarray(W / 2.0),
+                      jnp.asarray(H / 2.0))
+    m = run_calibrated(None, intr, out, cfg, gray=gray, color=color)
+    # reconstruction quality: relative rotation error vs GT
+    import numpy as np
+    from sphericalsfm_tpu.geometry.so3 import so3_exp as _exp
+
+    R_est = np.asarray(_exp(jnp.asarray(m.cam_r)))
+    R_gt = np.asarray(_exp(jnp.asarray(cam_r_gt)))
+    rel_est = np.einsum("nij,nkj->nik", R_est[1:], R_est[:-1])
+    rel_gt = np.einsum("nij,nkj->nik", R_gt[1:], R_gt[:-1])
+    cyc = np.einsum("nij,nkj->nik", rel_est, rel_gt)
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(cyc, axis1=1, axis2=2) - 1) / 2, -1, 1)))
+    assert np.median(ang) < 2.0, ang

@@ -149,3 +149,26 @@ def test_eig_real_batched_random_matrices():
             r = np.linalg.norm(Ms[b] @ V[b][:, k] - lam[b][k] * V[b][:, k])
             assert r < 1e-6, r
     assert found == total, (found, total)
+
+
+def test_8pt_baseline_exact_and_noise():
+    """Normalized 8-pt DLT (reference `eightpt` baseline,
+    test_spherical_relpose.cpp:596-631): exact on clean data, degrades
+    gracefully with noise, worse than 5-pt at small motions (the classical
+    result the comparison exists to show)."""
+    from sphericalsfm_tpu.solvers.eight_point import solve_essential_8pt
+
+    u, v, E_gt, R, t, good = _general_problems(6, 64, 16)
+    E8, valid = solve_essential_8pt(u, v)
+    err = np.asarray(frobenius_error(E8, E_gt))
+    ok = good.all(axis=-1) & np.asarray(valid)
+    assert np.median(err[ok]) < 1e-8, np.median(err[ok])
+
+    u, v, E_gt, R, t, good = _general_problems(7, 64, 16, noise=1.0 / 600)
+    E8, valid = solve_essential_8pt(u, v)
+    err = np.asarray(frobenius_error(E8, E_gt))
+    ok = good.all(axis=-1) & np.asarray(valid)
+    # 16 correspondences at 1 px noise on a short-baseline problem: the DLT
+    # degrades to ~0.2 Frobenius — the small-motion weakness the comparison
+    # table exists to demonstrate (5-pt stays an order better there).
+    assert np.median(err[ok]) < 0.5, np.median(err[ok])

@@ -243,3 +243,65 @@ def test_focal_search_global_init_matches_sequential():
         out[name] = float(best)
     assert abs(out["seq"] - out["glob"]) / out["seq"] < 0.02, out
     assert abs(out["glob"] - focal_true) / focal_true < 0.1, out
+
+
+def test_focal_grid_and_bracketed_agree_with_random():
+    """Strategy parity (reference find_best_focal_length_{grid,opt},
+    spherical_sfm_tools.cpp:1191-1416): all three searches find the true
+    focal on the synthetic uncalibrated setup."""
+    from sphericalsfm_tpu.optim.pose_graph import (
+        find_best_focal_bracketed, find_best_focal_grid,
+    )
+
+    r_gt, ei, ej, E_meas, f_true, f_guess, n = _uncalib_setup()
+    w = jnp.ones(ei.shape[0])
+    args = (E_meas, ei, ej, w, n)
+    kw = dict(min_focal=f_guess / 4, max_focal=f_guess * 2)
+
+    best_r, _, _ = find_best_focal_random(
+        jax.random.PRNGKey(0), f_guess, *args, num_trials=512, **kw
+    )
+    best_g, costs_g, focals_g = find_best_focal_grid(
+        f_guess, *args, num_steps=128, **kw
+    )
+    # The wide-bounds landscape has a second shallow basin near 2·f_true
+    # (the reason the reference driver defaults to random search); the
+    # bracketed strategy is exercised with bounds that isolate the true
+    # basin, like the reference's "try increasing focal bounds" guidance
+    # implies the user tunes them.
+    best_o, ok = find_best_focal_bracketed(
+        jax.random.PRNGKey(1), f_guess, *args,
+        min_focal=f_guess / 4, max_focal=f_guess * 1.4,
+    )
+    assert ok
+    for name, best in (("random", best_r), ("grid", best_g), ("opt", best_o)):
+        assert abs(float(best) - f_true) / f_true < 0.06, (name, float(best))
+    # grid resolution bound: best within one step of the random optimum
+    step = (f_guess * 2 - f_guess / 4) / 127
+    assert abs(float(best_g) - float(best_r)) < 3 * step
+
+
+def test_total_rotation_cost_minimized_at_true_focal():
+    """total_rotation_cost_fn parity (spherical_sfm_tools.cpp:1084-1116):
+    |2π − Σ‖rel rot‖| dips at the true focal on a closed-loop capture."""
+    from sphericalsfm_tpu.optim.pose_graph import total_rotation_costs
+
+    r_gt, ei, ej, E_meas, f_true, f_guess, n = _uncalib_setup()
+    w = jnp.ones(ei.shape[0])
+    focals = jnp.linspace(f_guess / 4, f_guess * 2, 201)
+    costs = np.asarray(total_rotation_costs(
+        focals, jnp.asarray(float(f_guess)), E_meas, ei, ej, w, n
+    ))
+    best = float(focals[int(np.nanargmin(costs))])
+    # The consecutive-link sum spans (n−1)/n of the circle, so the 2π target
+    # biases the optimum high by ~1/n — inherent to the reference's cost
+    # definition (it refines with run_optimization afterwards).
+    assert abs(best - f_true) / f_true < 0.1, best
+    # and the grid strategy accepts the alternative cost
+    from sphericalsfm_tpu.optim.pose_graph import find_best_focal_grid
+
+    best_g, _, _ = find_best_focal_grid(
+        f_guess, E_meas, ei, ej, w, n, min_focal=f_guess / 4,
+        max_focal=f_guess * 2, num_steps=128, cost="total_rotation",
+    )
+    assert abs(float(best_g) - f_true) / f_true < 0.1, float(best_g)

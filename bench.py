@@ -70,6 +70,55 @@ def bench_backend(device, u, v, m, keys, reps):
     return PAIRS / dt, res
 
 
+def bench_adaptive(device, u, v, m, keys, reps):
+    """Adaptive round-based RANSAC (RansacLib termination bound) on the same
+    high-inlier sweep — VERDICT item 3's >=2x throughput target."""
+    from sphericalsfm_tpu.ransac.spherical import spherical_ransac_adaptive
+
+    run = jax.jit(
+        jax.vmap(
+            lambda k, uu, vv, mm: spherical_ransac_adaptive(
+                k, uu, vv, mm,
+                sq_thresh=jnp.float32((2.0 / FOCAL) ** 2),
+                round_size=128, max_rounds=HYPOTHESES // 128,
+            )
+        ),
+        device=device,
+    )
+    args = [jax.device_put(x, device) for x in (keys, u, v, m)]
+    res = run(*args)
+    res.r.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = run(*args)
+    res.r.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return PAIRS / dt, res
+
+
+def bench_ba_scale(device):
+    """VERDICT item 1 target: >=2000 cameras / >=1M obs on one chip via the
+    matrix-free two-level PCG Schur solve. Returns (iters/s, obs count)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    from bench_ba_scale import make_ring_scene
+    from sphericalsfm_tpu.optim.ba import bundle_adjust
+
+    prob = make_ring_scene(C=2000, W=520, P=131072)
+    K = int(np.count_nonzero(np.asarray(prob.obs_w)))
+    kw = dict(camera_solver="pcg", solve_dtype_name="float32",
+              pcg_rtol=1e-4, pcg_iters=100, ftol=1e-12)
+    with jax.default_device(device):
+        res = bundle_adjust(prob, max_iters=2, **kw)
+        float(res.cost)  # compile + warm
+        t0 = time.perf_counter()
+        res = bundle_adjust(prob, max_iters=10, **kw)
+        cost = float(res.cost)
+        dt = time.perf_counter() - t0
+    return int(res.iterations) / dt, K, cost
+
+
 def bench_ba(device):
     """Secondary metric: LM iterations/s of the Schur BA on a mid-size map."""
     from sphericalsfm_tpu.optim.ba import BAProblem, bundle_adjust, build_tracks
@@ -125,24 +174,44 @@ def main():
     cpu = jax.devices("cpu")[0]
 
     tpu_pairs_per_s, res = bench_backend(accel, u, v, m, keys, reps=10)
+    adaptive_pairs_per_s, res_a = bench_adaptive(accel, u, v, m, keys, reps=10)
     cpu_pairs_per_s, _ = bench_backend(cpu, u, v, m, keys, reps=2)
     ba_iters_per_s, ba_obs = bench_ba(accel)
+    try:
+        ba_scale_ips, ba_scale_obs, ba_scale_cost = bench_ba_scale(accel)
+    except Exception as e:  # keep the primary metric if the big run fails
+        ba_scale_ips, ba_scale_obs, ba_scale_cost = -1.0, 0, float("nan")
+        print(f"# ba_scale failed: {e}", flush=True)
 
     with jax.default_device(cpu):
         errs = np.asarray(
             rotation_error_deg(so3_exp(np.asarray(res.r, np.float64)),
                                np.asarray(R_gt, np.float64))
         )
+        errs_a = np.asarray(
+            rotation_error_deg(so3_exp(np.asarray(res_a.r, np.float64)),
+                               np.asarray(R_gt, np.float64))
+        )
     print(json.dumps({
         "metric": "spherical_ransac_pairs_per_s",
-        "value": round(tpu_pairs_per_s, 2),
-        "unit": f"pairs/s ({CORR} corr x {HYPOTHESES} hyp, f32)",
-        "vs_baseline": round(tpu_pairs_per_s / max(cpu_pairs_per_s, 1e-9), 2),
-        "baseline": f"same workload, host CPU backend: {cpu_pairs_per_s:.2f} pairs/s",
+        "value": round(adaptive_pairs_per_s, 2),
+        "unit": f"pairs/s ({CORR} corr, adaptive rounds of 128 hyp, f32)",
+        "vs_baseline": round(adaptive_pairs_per_s / max(cpu_pairs_per_s, 1e-9), 2),
+        "baseline": f"same workload, host CPU backend (static {HYPOTHESES} hyp): {cpu_pairs_per_s:.2f} pairs/s",
         "device": str(accel),
-        "median_rot_err_deg": round(float(np.median(errs)), 4),
+        "median_rot_err_deg": round(float(np.median(errs_a)), 4),
+        "static_pairs_per_s": round(tpu_pairs_per_s, 2),
+        "static_median_rot_err_deg": round(float(np.median(errs)), 4),
+        "adaptive_speedup_vs_static": round(
+            adaptive_pairs_per_s / max(tpu_pairs_per_s, 1e-9), 2
+        ),
         "ba_lm_iters_per_s": round(ba_iters_per_s, 2),
         "ba_workload": f"{ba_obs} obs, 64 cams, 8000 pts, f32 Schur",
+        "ba_scale_lm_iters_per_s": round(ba_scale_ips, 2),
+        "ba_scale_workload": (
+            f"{ba_scale_obs} obs, 2000 cams, 131072 pts, two-level PCG "
+            f"Schur f32, final cost {ba_scale_cost:.4g}"
+        ),
     }))
 
 

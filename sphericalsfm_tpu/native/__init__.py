@@ -53,6 +53,13 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
     ]
     lib.sfm_connected_components.restype = ctypes.c_int64
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.sfm_triplet_filter.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, f64p,
+        ctypes.c_double, u8p,
+    ]
+    lib.sfm_triplet_filter.restype = None
     _lib = lib
     return lib
 
@@ -77,6 +84,19 @@ class graph:
         out = np.empty(n, np.int64)
         k = lib.sfm_connected_components(n, len(a), a, b, out)
         return out, int(k)
+
+    @staticmethod
+    def triplet_filter(num_frames: int, ei: np.ndarray, ej: np.ndarray,
+                       R: np.ndarray, thresh: float,
+                       keep: np.ndarray) -> np.ndarray:
+        lib = _load()
+        ei = np.ascontiguousarray(ei, np.int64)
+        ej = np.ascontiguousarray(ej, np.int64)
+        R = np.ascontiguousarray(R.reshape(len(ei), 9), np.float64)
+        keep_io = np.ascontiguousarray(keep, np.uint8).copy()
+        lib.sfm_triplet_filter(num_frames, len(ei), ei, ej, R,
+                               float(thresh), keep_io)
+        return keep_io.astype(bool)
 
 
 # Trigger the build early so callers can fall back cleanly.

@@ -32,6 +32,7 @@ from ..geometry.essential import (
     decompose_spherical_essential,
 )
 from ..geometry.so3 import so3_exp, so3_log
+from .ba import _sorted_segment_sum
 from .lm import soft_l1_rho, soft_l1_weight
 
 SOFT_L1_SCALE = 0.03  # reference: SoftLOneLoss(0.03)
@@ -119,17 +120,25 @@ def _robust_block_lm(
     extra_bounds=None,   # (lo, hi) for the extra parameter
     max_iters: int = 64,
     ftol: float = 1e-12,
+    solver: str = "auto",
+    pcg_iters: int = 128,
+    pcg_rtol: float = 1e-8,
 ):
     """Sparse-block robust LM shared by calibrated/uncalibrated pose graphs.
 
-    Normal equations assembled by scattering per-edge 3×3 blocks into a dense
-    (3N [+1])² system — N is camera count (hundreds), so the dense solve is
-    tiny; the per-edge work is one fused vmap.
+    solver="dense": normal equations assembled by scattering per-edge 3×3
+    blocks into a dense (3N [+1])² system — fine while N is hundreds.
+    solver="pcg": matrix-free block-Jacobi CG on the same system — every
+    node reduction is a sorted segment sum over the edge list (no scatters,
+    no O(N²) memory; CLAUDE.md hot-path rule), the pose-graph mirror of the
+    BA camera solve. "auto" switches to pcg above 400 frames.
     """
     N = rotations_r.shape[0]
     dtype = rotations_r.dtype
     has_extra = extra0 is not None
     D = 3 * N + (1 if has_extra else 0)
+    if solver == "auto":
+        solver = "pcg" if N > 400 else "dense"
 
     def edge_res(r0, r1, extra, data):
         return residual_edge(r0, r1, extra, data)
@@ -145,7 +154,9 @@ def _robust_block_lm(
 
     free = (~fixed_mask).astype(dtype)
 
-    def build_system(rots, extra):
+    def edge_terms(rots, extra):
+        """Per-edge residuals, Jacobian blocks and robust weights."""
+
         def res_and_jac(i, j, data):
             def f(packed):
                 r0 = packed[:3]
@@ -160,11 +171,133 @@ def _robust_block_lm(
             J = jax.jacfwd(f)(packed)  # (3, 6[+1])
             return r, J
 
-        res, J = jax.vmap(res_and_jac)(edge_i, edge_j, edge_data)  # (E,3),(E,3,6+)
+        res, J = jax.vmap(res_and_jac)(edge_i, edge_j, edge_data)
         s = jnp.sum(res * res, axis=-1)
         w = soft_l1_weight(s, SOFT_L1_SCALE) * (edge_w > 0)
         J0 = J[:, :, 0:3] * free[edge_i][:, None, None]
         J1 = J[:, :, 3:6] * free[edge_j][:, None, None]
+        return res, J, J0, J1, w
+
+    if solver == "pcg":
+        # Sorted edge orders for scatter-free node reductions.
+        order_i = jnp.argsort(edge_i)
+        ptr_i = jnp.searchsorted(edge_i[order_i], jnp.arange(N + 1))
+        order_j = jnp.argsort(edge_j)
+        ptr_j = jnp.searchsorted(edge_j[order_j], jnp.arange(N + 1))
+
+        def seg_i(x):
+            return _sorted_segment_sum(x[order_i], ptr_i)
+
+        def seg_j(x):
+            return _sorted_segment_sum(x[order_j], ptr_j)
+
+    def pcg_step(rots, extra, lam):
+        """Matrix-free damped GN step: block-Jacobi CG over the edge list."""
+        res, J, J0, J1, w = edge_terms(rots, extra)
+        wj = w[:, None, None]
+        E = res.shape[0]
+        A0 = jnp.einsum("edi,edj->eij", J0 * wj, J0)
+        A1 = jnp.einsum("edi,edj->eij", J1 * wj, J1)
+        C01 = jnp.einsum("edi,edj->eij", J0 * wj, J1)
+        g0 = jnp.einsum("edi,ed->ei", J0 * wj, res)
+        g1 = jnp.einsum("edi,ed->ei", J1 * wj, res)
+        if has_extra:
+            Jf = J[:, :, 6]
+            f0 = jnp.einsum("edi,ed->ei", J0 * wj, Jf)
+            f1 = jnp.einsum("edi,ed->ei", J1 * wj, Jf)
+            Hff = jnp.sum(w * jnp.sum(Jf * Jf, axis=-1))
+            gf = jnp.sum(w * jnp.sum(Jf * res, axis=-1))
+        else:
+            f0 = f1 = jnp.zeros((E, 3), dtype)
+            Hff = jnp.zeros((), dtype)
+            gf = jnp.zeros((), dtype)
+
+        seg = seg_i(jnp.concatenate(
+            [A0.reshape(E, 9), g0, f0], axis=-1
+        )) + seg_j(jnp.concatenate([A1.reshape(E, 9), g1, f1], axis=-1))
+        Hnn = seg[:, :9].reshape(N, 3, 3)
+        gnode = seg[:, 9:12]
+        fnode = seg[:, 12:15]
+        dvec = jnp.maximum(jnp.diagonal(Hnn, axis1=-2, axis2=-1), 1e-12)
+        Hff_d = Hff * (1.0 + lam) + 1e-12
+
+        def matvec(x, xf):
+            xi = x[edge_i]
+            xj = x[edge_j]
+            y0 = (
+                jnp.einsum("eij,ej->ei", A0, xi)
+                + jnp.einsum("eij,ej->ei", C01, xj)
+                + f0 * xf
+            )
+            y1 = (
+                jnp.einsum("eij,ei->ej", C01, xi)
+                + jnp.einsum("eij,ej->ei", A1, xj)
+                + f1 * xf
+            )
+            out = seg_i(y0) + seg_j(y1) + lam * dvec * x
+            out_f = (
+                jnp.sum(f0 * xi) + jnp.sum(f1 * xj) + Hff_d * xf
+            )
+            return out, out_f
+
+        # block-Jacobi preconditioner (damped node blocks, eps-clamped for
+        # gauge-frozen rows)
+        Pn = Hnn + (lam * dvec)[..., None] * jnp.eye(3, dtype=dtype)
+        eps = 1e-8 * jnp.maximum(
+            jnp.trace(Pn, axis1=-2, axis2=-1) / 3.0, 1e-12
+        )[:, None, None] * jnp.eye(3, dtype=dtype) + 1e-30 * jnp.eye(
+            3, dtype=dtype
+        )
+        Lp = jnp.linalg.cholesky(Pn + eps)
+        Pf = jnp.maximum(Hff_d, 1e-30)
+
+        def precond(r, rf):
+            y = jax.scipy.linalg.solve_triangular(Lp, r[..., None], lower=True)
+            z = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(Lp, -1, -2), y, lower=False
+            )[..., 0]
+            return z, rf / Pf
+
+        b = -gnode
+        bf = -gf
+        bnorm2 = jnp.sum(b * b) + bf * bf
+        z0, z0f = precond(b, bf)
+        state0 = (
+            jnp.zeros((N, 3), dtype), jnp.zeros((), dtype),
+            b, bf, z0, z0f, jnp.sum(b * z0) + bf * z0f, jnp.asarray(0),
+        )
+
+        def pcg_cond(st):
+            _, _, r, rf, _, _, rz, it = st
+            rn2 = jnp.sum(r * r) + rf * rf
+            return (
+                (it < pcg_iters)
+                & (rn2 > pcg_rtol * pcg_rtol * jnp.maximum(bnorm2, 1e-30))
+                & jnp.isfinite(rz)
+            )
+
+        def pcg_body(st):
+            x, xf, r, rf, p, pf, rz, it = st
+            Ap, Apf = matvec(p, pf)
+            denom = jnp.sum(p * Ap) + pf * Apf
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            x = x + alpha * p
+            xf = xf + alpha * pf
+            r = r - alpha * Ap
+            rf = rf - alpha * Apf
+            z, zf = precond(r, rf)
+            rz_new = jnp.sum(r * z) + rf * zf
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+            return x, xf, r, rf, z + beta * p, zf + beta * pf, rz_new, it + 1
+
+        x, xf, *_ = jax.lax.while_loop(pcg_cond, pcg_body, state0)
+        # fnode couples rotations↔focal only through matvec; the off-diagonal
+        # focal column is already handled there — nothing extra to do.
+        del fnode
+        return x, xf
+
+    def build_system(rots, extra):
+        res, J, J0, J1, w = edge_terms(rots, extra)
 
         H = jnp.zeros((N, N, 3, 3), dtype)
         gvec = jnp.zeros((N, 3), dtype)
@@ -200,24 +333,43 @@ def _robust_block_lm(
 
     def body(carry):
         rots, extra, lam, cost, it, done = carry
-        H, gvec = build_system(rots, extra)
-        diag = jnp.maximum(jnp.diagonal(H), 1e-12)
-        A = H + jnp.diag(lam * diag)
-        # gauge: frozen rotations get identity rows via the free-mask zeroing
-        # (their H rows are zero; the damped diagonal keeps A nonsingular).
-        dscale = jnp.sqrt(jnp.maximum(jnp.diagonal(A), 1e-15))
-        A_eq = A / dscale[:, None] / dscale[None, :]
-        L = jnp.linalg.cholesky(A_eq + 1e-12 * jnp.eye(D, dtype=dtype))
-        y = jax.scipy.linalg.solve_triangular(L, -(gvec / dscale), lower=True)
-        dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / dscale
-
-        rots_n = rots + dx[: 3 * N].reshape(N, 3) * free[:, None]
-        if has_extra:
-            extra_n = extra + dx[3 * N]
-            if extra_bounds is not None:
-                extra_n = jnp.clip(extra_n, extra_bounds[0], extra_bounds[1])
+        if solver == "pcg":
+            dxn, dxf = pcg_step(rots, extra, lam)
+            rots_n = rots + dxn * free[:, None]
+            if has_extra:
+                extra_n = extra + dxf
+                if extra_bounds is not None:
+                    extra_n = jnp.clip(
+                        extra_n, extra_bounds[0], extra_bounds[1]
+                    )
+            else:
+                extra_n = extra
         else:
-            extra_n = extra
+            H, gvec = build_system(rots, extra)
+            diag = jnp.maximum(jnp.diagonal(H), 1e-12)
+            A = H + jnp.diag(lam * diag)
+            # gauge: frozen rotations get identity rows via the free-mask
+            # zeroing (their H rows are zero; the damped diagonal keeps A
+            # nonsingular).
+            dscale = jnp.sqrt(jnp.maximum(jnp.diagonal(A), 1e-15))
+            A_eq = A / dscale[:, None] / dscale[None, :]
+            L = jnp.linalg.cholesky(A_eq + 1e-12 * jnp.eye(D, dtype=dtype))
+            y = jax.scipy.linalg.solve_triangular(
+                L, -(gvec / dscale), lower=True
+            )
+            dx = jax.scipy.linalg.solve_triangular(
+                L.T, y, lower=False
+            ) / dscale
+
+            rots_n = rots + dx[: 3 * N].reshape(N, 3) * free[:, None]
+            if has_extra:
+                extra_n = extra + dx[3 * N]
+                if extra_bounds is not None:
+                    extra_n = jnp.clip(
+                        extra_n, extra_bounds[0], extra_bounds[1]
+                    )
+            else:
+                extra_n = extra
         cost_n = total_cost(rots_n, extra_n)
         ok = jnp.isfinite(cost_n) & (cost_n < cost)
         lam = jnp.where(ok, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
@@ -243,14 +395,17 @@ def _robust_block_lm(
     return rots, extra, cost
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "solver"))
 def optimize_rotations(
-    rotations_r: jnp.ndarray, g: RotationGraph, max_iters: int = 64
+    rotations_r: jnp.ndarray, g: RotationGraph, max_iters: int = 64,
+    solver: str = "auto",
 ):
     """Robust rotation averaging (reference optimize_rotations,
     rotation_averaging.cpp:44-91). First camera is the gauge anchor.
 
-    Returns (rotations_r (N, 3), final_cost).
+    Returns (rotations_r (N, 3), final_cost). `solver`: "dense" |
+    "pcg" (scatter-free segment-sum CG, scales past hundreds of frames) |
+    "auto".
     """
     scale = _edge_scale(g)
 
@@ -260,12 +415,12 @@ def optimize_rotations(
     fixed = jnp.zeros(rotations_r.shape[0], bool).at[0].set(True)
     rots, _, cost = _robust_block_lm(
         residual, rotations_r, None, g.edge_i, g.edge_j, g.r_meas, g.edge_w,
-        fixed, max_iters=max_iters,
+        fixed, max_iters=max_iters, solver=solver,
     )
     return rots, cost
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "solver"))
 def optimize_rotations_and_focal(
     rotations_r: jnp.ndarray,
     g: RotationGraph,
@@ -273,6 +428,7 @@ def optimize_rotations_and_focal(
     mult_lo: jnp.ndarray,
     mult_hi: jnp.ndarray,
     max_iters: int = 64,
+    solver: str = "auto",
 ):
     """Joint rotations + focal-multiplier optimization (reference
     optimize_rotations_and_focal_length, uncalibrated_pose_graph.cpp:147-203).
@@ -294,6 +450,7 @@ def optimize_rotations_and_focal(
     rots, fmult, cost = _robust_block_lm(
         residual, rotations_r, focal_mult0, g.edge_i, g.edge_j, edge_data,
         g.edge_w, fixed, extra_bounds=(mult_lo, mult_hi), max_iters=max_iters,
+        solver=solver,
     )
     return rots, fmult, cost
 

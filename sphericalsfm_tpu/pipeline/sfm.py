@@ -147,16 +147,29 @@ class SfMMap:
                 num_hypotheses=num_hypotheses,
             )
         )
+        # Pad the point axis to whole chunks (one compiled shape) and queue
+        # every chunk before fetching any result — a per-chunk np.asarray
+        # would serialize host and device (the axon tunnel charges ~30 ms
+        # per blocking fetch).
         P = self.num_points
-        keys = jax.random.split(key, P)
-        Xs, oks = [], []
-        for s in range(0, P, chunk):
-            e = min(s + chunk, P)
-            res = run(keys[s:e], rs[s:e], ts[s:e], uv[s:e], mask[s:e])
-            Xs.append(np.asarray(res.X))
-            oks.append(np.asarray(res.ok))
-        X = np.concatenate(Xs)
-        ok = np.concatenate(oks)
+        n_chunks = -(-P // chunk)
+        Ppad = n_chunks * chunk
+
+        def pad(x, fill=0):
+            if x.shape[0] == Ppad:
+                return x
+            widths = [(0, Ppad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        keys = pad(jax.random.split(key, P))
+        rs, ts, uv = pad(rs), pad(ts), pad(uv)
+        mask = pad(mask, fill=False)
+        outs = []
+        for s in range(0, Ppad, chunk):
+            e = s + chunk
+            outs.append(run(keys[s:e], rs[s:e], ts[s:e], uv[s:e], mask[s:e]))
+        X = np.concatenate([np.asarray(o.X) for o in outs])[:P]
+        ok = np.concatenate([np.asarray(o.ok) for o in outs])[:P]
         self.points = np.where(ok[:, None], X, 0.0)
 
     def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",

@@ -153,6 +153,12 @@ def filter_triplet_cycles(
     (edges in no triplet are kept).
     """
     keep = keep.copy()
+    R_all = np.asarray(so3_exp(np.asarray(r_rel)), np.float64)
+    if _native is not None and len(pair_i):
+        return _native.triplet_filter(
+            int(max(pair_i.max(), pair_j.max())) + 1,
+            pair_i, pair_j, R_all, np.deg2rad(thresh_deg), keep,
+        )
     idx = {}
     for p in np.nonzero(keep)[0]:
         idx[(int(pair_i[p]), int(pair_j[p]))] = p

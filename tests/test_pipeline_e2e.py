@@ -246,3 +246,45 @@ def test_relpose_comparison_csv(tmp_path):
         rows[0]["median_frob_spherical_3pt"]
         < rows[0]["median_frob_general_5pt"]
     )
+
+
+def test_native_triplet_filter_matches_python():
+    """The C++ triplet-cycle filter must reproduce the numpy fallback on a
+    random view graph with consistent and corrupted triplets."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sphericalsfm_tpu.geometry.so3 import so3_exp, so3_log
+    from sphericalsfm_tpu.native import graph as native
+    from sphericalsfm_tpu.pipeline import tracks as T
+
+    rng = np.random.default_rng(0)
+    F = 20
+    phi = np.arange(F) * 0.3
+    R_gt = np.asarray(so3_exp(jnp.asarray(
+        np.stack([np.zeros(F), phi, np.zeros(F)], -1))))
+    pairs = [(i, j) for i in range(F) for j in range(i + 1, min(i + 5, F))]
+    pi = np.asarray([p[0] for p in pairs], np.int32)
+    pj = np.asarray([p[1] for p in pairs], np.int32)
+    r_rel = []
+    for (i, j), corrupt in zip(pairs, rng.uniform(size=len(pairs)) < 0.2):
+        Rij = R_gt[j] @ R_gt[i].T
+        if corrupt:  # bad edge: random large perturbation
+            pert = rng.normal(size=3)
+            pert = pert / np.linalg.norm(pert) * rng.uniform(0.2, 0.5)
+            Rij = np.asarray(so3_exp(jnp.asarray(pert))) @ Rij
+        r_rel.append(np.asarray(so3_log(jnp.asarray(Rij))))
+    r_rel = np.stack(r_rel)
+    keep = rng.uniform(size=len(pairs)) < 0.95
+
+    out_native = T.filter_triplet_cycles(pi, pj, r_rel, keep, 2.0)
+    # force the python fallback
+    saved = T._native
+    try:
+        T._native = None
+        out_python = T.filter_triplet_cycles(pi, pj, r_rel, keep, 2.0)
+    finally:
+        T._native = saved
+    np.testing.assert_array_equal(out_native, out_python)
+    # corrupted edges in triplets must actually be dropped
+    assert out_native.sum() < keep.sum()

@@ -305,3 +305,58 @@ def test_total_rotation_cost_minimized_at_true_focal():
         max_focal=f_guess * 2, num_steps=128, cost="total_rotation",
     )
     assert abs(float(best_g) - f_true) / f_true < 0.1, float(best_g)
+
+
+def test_pose_graph_pcg_matches_dense():
+    """The scatter-free segment-sum PCG solver reaches the same optimum as
+    the dense solve on both the calibrated and the joint-focal pose graph."""
+    n = 16
+    r_gt = _circle_rotations(n, 1.0)
+    g = _graph_from_gt(r_gt, noise=0.01, seed=1,
+                       extra_edges=[(0, n - 1), (0, n - 2), (1, n - 1)])
+    init = initialize_rotations_sequential(n, g)
+    rots_d, cost_d = optimize_rotations(init, g, solver="dense")
+    rots_p, cost_p = optimize_rotations(init, g, solver="pcg")
+    np.testing.assert_allclose(float(cost_p), float(cost_d), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(rots_p), np.asarray(rots_d),
+                               atol=1e-6)
+
+    # joint rotations + focal
+    r_gt2, ei, ej, E_meas, f_true, f_guess, n2 = _uncalib_setup()
+    from sphericalsfm_tpu.optim.pose_graph import rotations_at_focal
+
+    f0 = f_true * 1.1
+    r_meas = rotations_at_focal(E_meas, f0 / f_guess)
+    g2 = RotationGraph(ei, ej, r_meas, jnp.ones(ei.shape[0]))
+    rots0 = initialize_rotations_sequential(n2, g2)
+    outs = {}
+    for s in ("dense", "pcg"):
+        rots, fmult, cost = optimize_rotations_and_focal(
+            rots0, g2, jnp.asarray(1.0), jnp.asarray(0.25), jnp.asarray(4.0),
+            solver=s,
+        )
+        outs[s] = (float(f0 * fmult), float(cost))
+    assert abs(outs["pcg"][0] - outs["dense"][0]) / f_true < 1e-3, outs
+    assert abs(outs["pcg"][0] - f_true) / f_true < 0.02, outs
+
+
+def test_pose_graph_pcg_auto_at_scale():
+    """auto switches to pcg above 400 frames and converges on a 500-frame
+    ring with loop closures (no O(N²) dense system, no scatters)."""
+    n = 500
+    r_gt = _circle_rotations(n, 1.0)
+    loops = [(i, (i + n // 2) % n) for i in range(0, n, 50)]
+    loops = [(min(a, b), max(a, b)) for a, b in loops if abs(a - b) > 1]
+    g = _graph_from_gt(r_gt, noise=0.005, seed=2, extra_edges=loops)
+    init = initialize_rotations_sequential(n, g)
+    rots, cost = optimize_rotations(init, g, max_iters=30)  # auto → pcg
+    rots_d, cost_d = optimize_rotations(init, g, max_iters=30, solver="dense")
+    init_errs = np.asarray(
+        rotation_error_deg(so3_exp(init), so3_exp(jnp.asarray(r_gt)))
+    )
+    errs = np.asarray(rotation_error_deg(so3_exp(rots), so3_exp(jnp.asarray(r_gt))))
+    assert errs.max() < init_errs.max()
+    # pcg must land at the dense optimum (the MAP estimate, not GT)
+    np.testing.assert_allclose(float(cost), float(cost_d), rtol=1e-4)
+    d = np.asarray(rotation_error_deg(so3_exp(rots), so3_exp(rots_d)))
+    assert d.max() < 0.1, d.max()

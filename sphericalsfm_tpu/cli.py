@@ -26,6 +26,44 @@ def _add_common(p):
     p.add_argument("--maxkeypoints", type=int, default=4000)
     p.add_argument("--detector", default="tpu", choices=["tpu", "opencv"])
     p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--sequential", dest="sequential", action="store_true",
+                   default=True,
+                   help="adjacent-chain rotation init (reference -sequential)")
+    p.add_argument("--global-init", dest="sequential", action="store_false",
+                   help="spanning-tree global rotation init (gopt parity)")
+    p.add_argument("--numbegin", type=int, default=30,
+                   help="loop-closure begin window (reference -numbegin)")
+    p.add_argument("--numend", type=int, default=30,
+                   help="loop-closure end window (reference -numend)")
+    p.add_argument("--bestonly", action="store_true",
+                   help="keep only the strongest loop closure "
+                        "(reference -bestonly)")
+    p.add_argument(
+        "--set", dest="overrides", action="append", default=[],
+        metavar="SECTION.KEY=VALUE",
+        help="override any config field, e.g. --set focal.strategy=grid "
+             "--set ransac.adaptive=false --set frontend.matching=windows",
+    )
+
+
+def _apply_override(cfg, spec: str):
+    path, _, raw = spec.partition("=")
+    if not _:
+        raise SystemExit(f"--set needs SECTION.KEY=VALUE, got {spec!r}")
+    obj = cfg
+    *parents, leaf = path.split(".")
+    for part in parents:
+        obj = getattr(obj, part)
+    cur = getattr(obj, leaf)  # raises AttributeError on typos
+    if isinstance(cur, bool):
+        value = raw.lower() in ("1", "true", "yes", "on")
+    elif isinstance(cur, int):
+        value = int(raw)
+    elif isinstance(cur, float):
+        value = float(raw)
+    else:
+        value = raw
+    setattr(obj, leaf, value)
 
 
 def _config_from_args(args):
@@ -40,9 +78,15 @@ def _config_from_args(args):
     cfg.ransac.inlier_threshold_px = args.inlierthresh
     cfg.ransac.min_num_inliers = args.mininliers
     cfg.graph.min_rotation_deg = args.minrot
+    cfg.graph.sequential = args.sequential
+    cfg.graph.num_frames_begin = args.numbegin
+    cfg.graph.num_frames_end = args.numend
+    cfg.graph.best_only = args.bestonly
     cfg.frontend.frame_stride = args.stride
     cfg.frontend.max_keypoints = args.maxkeypoints
     cfg.frontend.detector = args.detector
+    for spec in args.overrides:
+        _apply_override(cfg, spec)
     return cfg
 
 

@@ -110,8 +110,8 @@ def bench_ba_scale(device):
     kw = dict(camera_solver="pcg", solve_dtype_name="float32",
               pcg_rtol=1e-4, pcg_iters=100, ftol=1e-12)
     with jax.default_device(device):
-        res = bundle_adjust(prob, max_iters=2, **kw)
-        float(res.cost)  # compile + warm
+        res = bundle_adjust(prob, max_iters=10, **kw)
+        float(res.cost)  # compile + warm (same static max_iters as timed)
         t0 = time.perf_counter()
         res = bundle_adjust(prob, max_iters=10, **kw)
         cost = float(res.cost)

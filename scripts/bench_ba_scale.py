@@ -113,25 +113,24 @@ def main():
     print(f"scene: {C} cams, {P} pts, {K} obs "
           f"(built in {time.perf_counter()-t0:.1f}s)", flush=True)
 
-    kw = dict(camera_solver="pcg", solve_dtype_name="float32",
-              pcg_rtol=1e-4, pcg_iters=100, ftol=1e-12)
-    t0 = time.perf_counter()
-    res = bundle_adjust(prob, max_iters=5, **kw)
-    jax.block_until_ready(res.points)
-    t_compile5 = time.perf_counter() - t0
-    print(f"5 iters (incl compile): {t_compile5:.1f}s "
-          f"cost {float(res.initial_cost):.4g} -> {float(res.cost):.4g}",
-          flush=True)
-
-    t0 = time.perf_counter()
-    res = bundle_adjust(prob, max_iters=15, **kw)
-    jax.block_until_ready(res.points)
-    t15 = time.perf_counter() - t0
-    it = int(res.iterations)
-    K_eff = max(K, 1)
-    rms = np.sqrt(2 * float(res.cost) / K_eff / 2)
-    print(f"{it} iters: {t15:.2f}s -> {it / t15:.2f} iters/s  "
-          f"final cost {float(res.cost):.6g} rms {rms:.3f}px", flush=True)
+    for coarse in (16, 0):
+        kw = dict(camera_solver="pcg", solve_dtype_name="float32",
+                  pcg_rtol=1e-4, pcg_iters=100, ftol=1e-12,
+                  pcg_coarse=coarse)
+        t0 = time.perf_counter()
+        res = bundle_adjust(prob, max_iters=15, **kw)
+        cost_w = float(res.cost)  # force completion (block lies on axon)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = bundle_adjust(prob, max_iters=15, **kw)
+        cost = float(res.cost)
+        t_warm = time.perf_counter() - t0
+        it = int(res.iterations)
+        rms = np.sqrt(2 * cost / max(K, 1) / 2)
+        print(f"coarse={coarse}: cold {t_cold:.1f}s; warm {it} iters in "
+              f"{t_warm:.2f}s -> {it / t_warm:.2f} iters/s  "
+              f"cost {float(res.initial_cost):.4g} -> {cost:.6g} "
+              f"rms {rms:.3f}px", flush=True)
 
 
 if __name__ == "__main__":

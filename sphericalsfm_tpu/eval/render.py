@@ -62,9 +62,9 @@ def render_capture(
             np.maximum((cd**2 - (center @ center) + r2), 0.0)[..., None]
         )
         p = center + d * tt
-        tex = np.zeros(p.shape[:2])
-        for k in range(n_waves):
-            tex += amp[k] * np.cos(p @ wvec[k] + phase[k])
+        # one (HW, n_waves) matmul instead of a python loop over waves
+        tex = (np.cos(p.reshape(-1, 3) @ wvec.T + phase) @ amp).reshape(
+            p.shape[:2])
         tex = (tex - tex.min()) / max(tex.max() - tex.min(), 1e-9)
         frames.append(tex.astype(np.float32))
     gray = np.stack(frames)

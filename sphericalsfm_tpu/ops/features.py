@@ -207,10 +207,14 @@ def detect_and_describe(
     num_octaves: int = 4,
 ) -> Features:
     """Detect DoG keypoints and compute SIFT descriptors of one (H, W) image
-    in [0, 1]. Returns fixed-shape Features (K = max_keypoints). vmap over a
-    frame axis to process a whole capture at once.
+    in [0, 1] (or uint8 in [0, 255] — converted on device, so callers can
+    ship frames over the host↔device link at 1 byte/pixel). Returns
+    fixed-shape Features (K = max_keypoints). vmap over a frame axis to
+    process a whole capture at once.
     """
     img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        img = img / 255.0
     H, W = img.shape
     base = _blur(img, _SIGMA0)
 
@@ -418,9 +422,14 @@ def detect_and_describe(
     )
 
 
+@partial(jax.jit, static_argnames=("max_keypoints", "num_octaves"))
 def detect_batch(images: jnp.ndarray, max_keypoints: int = 1024,
                  num_octaves: int = 4) -> Features:
-    """vmapped detection over a frame axis (F, H, W) -> batched Features."""
+    """vmapped detection over a frame axis (F, H, W) -> batched Features.
+
+    Jitted as one program: an un-jitted vmap executes op-by-op, and on a
+    tunneled TPU backend every eager op pays a dispatch roundtrip (~0.5 s/
+    frame observed vs ~ms compiled)."""
     return jax.vmap(
         lambda im: detect_and_describe(im, max_keypoints, num_octaves)
     )(images)

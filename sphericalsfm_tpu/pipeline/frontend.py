@@ -37,6 +37,11 @@ class FrameFeatures(NamedTuple):
     counts: np.ndarray       # (F,) valid keypoints per frame
     width: int
     height: int
+    # Device-resident copies populated by detect_features so the matcher
+    # skips re-uploading descriptors over the (slow) host↔device link.
+    # None when features came from a cache/database (host only).
+    descriptor_dev: object = None   # (F, K, 128) f32 on device
+    valid_dev: object = None        # (F, K) bool on device
 
 
 def load_frames(path: str, stride: int = 1, max_frames: int | None = None):
@@ -81,22 +86,42 @@ def detect_features(
     if cfg.detector == "opencv":
         return _detect_opencv(gray, color, cfg)
 
-    xs, ds, vs = [], [], []
+    # Dispatch every chunk before fetching any result: uploads, kernels and
+    # downloads overlap instead of serializing on per-chunk blocking
+    # readbacks (the tunneled chip adds a fixed roundtrip per fetch).
+    # Frames ship as uint8 (1 byte/pixel — the reference detects on 8-bit
+    # cv2 grayscale too) and descriptors come back SIFT-quantized uint8
+    # (×512, the OpenCV/COLMAP convention), cutting link traffic ~4×; the
+    # full-precision descriptors stay on device for the matcher.
+    if gray.dtype != np.uint8:
+        gray = np.clip(gray * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    pending = []
     for s in range(0, F, batch):
         e = min(s + batch, F)
-        feats = detect_batch(jnp.asarray(gray[s:e]), max_keypoints=K,
+        imgs = gray[s:e]
+        if e - s < batch:  # pad the tail: one compiled shape for all chunks
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch - (e - s), H, W), imgs.dtype)])
+        feats = detect_batch(jnp.asarray(imgs), max_keypoints=K,
                              num_octaves=cfg.num_octaves)
-        xs.append(np.asarray(feats.xy))
-        ds.append(np.asarray(feats.descriptor))
-        vs.append(np.asarray(feats.valid))
-    xy = np.concatenate(xs)
-    desc = np.concatenate(ds)
-    valid = np.concatenate(vs)
+        pending.append((feats, _quantize_desc(feats.descriptor), e - s))
+    xy = np.concatenate([np.asarray(p.xy)[:n] for p, _, n in pending])
+    desc = np.concatenate([np.asarray(q)[:n] for _, q, n in pending]) \
+        .astype(np.float32) / 512.0
+    valid = np.concatenate([np.asarray(p.valid)[:n] for p, _, n in pending])
+    desc_dev = jnp.concatenate([p.descriptor[:n] for p, _, n in pending])
+    valid_dev = jnp.concatenate([p.valid[:n] for p, _, n in pending])
     col = _sample_colors(xy, valid, color, H, W)
     return FrameFeatures(
         xy=xy, descriptor=desc, valid=valid, color=col,
         counts=valid.sum(axis=1).astype(np.int64), width=W, height=H,
+        descriptor_dev=desc_dev, valid_dev=valid_dev,
     )
+
+
+@jax.jit
+def _quantize_desc(d):
+    return jnp.clip(jnp.round(d * 512.0), 0, 255).astype(jnp.uint8)
 
 
 def _sample_colors(xy, valid, color, H, W):
@@ -152,8 +177,12 @@ def match_pairs(
     Returns padded index tables (idx0, idx1, mask) of shape
     (P, cfg.max_matches_per_pair).
     """
-    desc = jnp.asarray(feats.descriptor)
-    valid = jnp.asarray(feats.valid)
+    if feats.descriptor_dev is not None:  # device copy: skip the re-upload
+        desc = feats.descriptor_dev
+        valid = feats.valid_dev
+    else:
+        desc = jnp.asarray(feats.descriptor)
+        valid = jnp.asarray(feats.valid)
     M = cfg.max_matches_per_pair
 
     run = jax.jit(
@@ -162,16 +191,15 @@ def match_pairs(
         )
     )
     P = len(pair_i)
-    i0s, i1s, ms = [], [], []
-    for s in range(0, P, chunk):
+    pending = []
+    for s in range(0, P, chunk):  # dispatch all chunks, fetch afterwards
         e = min(s + chunk, P)
         a = pair_i[s:e]
         b = pair_j[s:e]
-        i0, i1, mk = run(desc[a], desc[b], valid[a], valid[b])
-        i0s.append(np.asarray(i0))
-        i1s.append(np.asarray(i1))
-        ms.append(np.asarray(mk))
-    return np.concatenate(i0s), np.concatenate(i1s), np.concatenate(ms)
+        pending.append(run(desc[a], desc[b], valid[a], valid[b]))
+    return (np.concatenate([np.asarray(p[0]) for p in pending]),
+            np.concatenate([np.asarray(p[1]) for p in pending]),
+            np.concatenate([np.asarray(p[2]) for p in pending]))
 
 
 def window_pairs(num_frames: int, adjacent_window: int,

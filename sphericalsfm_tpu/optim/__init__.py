@@ -4,7 +4,8 @@ from .lm import (
     trivial_rho, trivial_weight,
 )
 from .ba import (
-    BAProblem, BAResult, bundle_adjust, ba_cost, build_tracks,
+    BAProblem, BAResult, bundle_adjust, bundle_adjust_checkpointed,
+    ba_cost, build_tracks,
     sort_obs_by_camera,
 )
 from .pose_graph import (

@@ -69,6 +69,7 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray
     initial_cost: jnp.ndarray
     iterations: jnp.ndarray
+    lam: jnp.ndarray | None = None  # final LM damping (for warm restart)
 
 
 def _residuals(focal, cam_t, cam_r, points, p: BAProblem):
@@ -639,6 +640,69 @@ def bundle_adjust(
     )
 
 
+def bundle_adjust_checkpointed(
+    p: BAProblem,
+    checkpoint_path: str,
+    max_iters: int = 50,
+    segment: int = 10,
+    **kw,
+) -> BAResult:
+    """LM bundle adjustment in segments with atomic on-disk checkpoints
+    (SURVEY §5.3/§5.4: failure recovery for long BA runs — the reference has
+    none; a killed Ceres solve restarts from scratch).
+
+    Runs `segment` LM iterations per device call; after each segment the full
+    optimizer state (focal, poses, points, damping, iteration count, cost
+    trace) is written to `checkpoint_path` via a same-directory rename, so a
+    crash can never leave a torn file. Re-invoking with the same arguments
+    resumes from the last completed segment; the trajectory is identical to
+    an uninterrupted segmented run because the LM damping is persisted and
+    re-seeded (the loop carries no other cross-iteration state).
+    """
+    import os
+
+    import numpy as np
+
+    it0 = 0
+    c0 = None
+    if os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as ck:
+            it0 = int(ck["iterations"])
+            c0 = float(ck["initial_cost"])
+            p = p._replace(
+                focal=jnp.asarray(ck["focal"], p.points.dtype),
+                cam_t=jnp.asarray(ck["cam_t"], p.points.dtype),
+                cam_r=jnp.asarray(ck["cam_r"], p.points.dtype),
+                points=jnp.asarray(ck["points"], p.points.dtype),
+            )
+            kw = dict(kw, init_lambda=float(ck["lam"]))
+
+    res = None
+    while it0 < max_iters:
+        n = min(segment, max_iters - it0)
+        res = bundle_adjust(p, max_iters=n, **kw)
+        if c0 is None:
+            c0 = float(res.initial_cost)
+        it0 += int(res.iterations)
+        p = p._replace(focal=res.focal, cam_t=res.cam_t, cam_r=res.cam_r,
+                       points=res.points)
+        kw = dict(kw, init_lambda=res.lam)
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(
+            tmp, focal=np.asarray(res.focal), cam_t=np.asarray(res.cam_t),
+            cam_r=np.asarray(res.cam_r), points=np.asarray(res.points),
+            lam=np.asarray(res.lam), iterations=it0, initial_cost=c0,
+            cost=np.asarray(res.cost),
+        )
+        os.replace(tmp, checkpoint_path)
+        if int(res.iterations) < n:  # converged inside the segment
+            break
+    if res is None:  # checkpoint already at/after max_iters
+        res = bundle_adjust(p, max_iters=0, **kw)
+    return res._replace(iterations=jnp.asarray(it0),
+                        initial_cost=jnp.asarray(c0, res.points.dtype))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -714,7 +778,7 @@ def _bundle_adjust_jit(
     )
     return BAResult(
         focal=f, cam_t=ct, cam_r=cr, points=pts, cost=cost,
-        initial_cost=c0, iterations=it,
+        initial_cost=c0, iterations=it, lam=lam,
     )
 
 

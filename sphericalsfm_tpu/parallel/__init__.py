@@ -1,5 +1,5 @@
 from .sharded import (
     make_mesh, pad_to_multiple, sharded_pairwise_ransac,
-    shard_ba_problem, distributed_bundle_adjust,
+    sharded_retriangulate, shard_ba_problem, distributed_bundle_adjust,
 )
 from .ring_matching import ring_exhaustive_match, ring_match_pairs

@@ -82,6 +82,51 @@ def sharded_pairwise_ransac(
     )
 
 
+def sharded_retriangulate(
+    mesh: Mesh,
+    keys: jax.Array,        # (P,) PRNG keys, one per track
+    rs: jnp.ndarray,        # (P, T, 3) per-track camera axis-angles
+    ts: jnp.ndarray,        # (P, T, 3)
+    uv: jnp.ndarray,        # (P, T, 2)
+    mask: jnp.ndarray,      # (P, T) observation validity
+    focal,
+    sq_thresh: float = 4.0,
+    num_hypotheses: int = 32,
+):
+    """Retriangulate every track with the point axis sharded over the mesh
+    (SURVEY §2.5 P3: the reference's per-point `cv::parallel_for_` in
+    sfm.cpp:156-192 maps to the data axis here). Embarrassingly parallel —
+    zero collectives; each device RANSACs its slice of the track table.
+
+    P must be a multiple of the mesh size (pad with mask=False tracks;
+    `pad_to_multiple` on every array, fill False for mask).
+    """
+    from ..ransac.triangulation import triangulation_ransac
+
+    axis = mesh.axis_names[0]
+    spec = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda k, a, b, c, d, f: triangulation_ransac(
+                k, a, b, c, d, f, sq_thresh=sq_thresh,
+                num_hypotheses=num_hypotheses,
+            ),
+            in_axes=(0, 0, 0, 0, 0, None),
+        ),
+        in_shardings=(spec, spec, spec, spec, spec, rep),
+    )
+    return fn(
+        jax.device_put(keys, spec),
+        jax.device_put(rs, spec),
+        jax.device_put(ts, spec),
+        jax.device_put(uv, spec),
+        jax.device_put(mask, spec),
+        jax.device_put(jnp.asarray(focal), rep),
+    )
+
+
 def shard_ba_problem(mesh: Mesh, p: BAProblem) -> BAProblem:
     """Lay a BAProblem out on the mesh: observations and points sharded on
     the data axis, cameras and scalars replicated.

@@ -257,3 +257,39 @@ def test_ba_matches_scipy_reference():
     assert abs(float(res.cost) - out.cost) / max(out.cost, 1e-9) < 0.02, (
         float(res.cost), out.cost,
     )
+
+
+def test_ba_checkpoint_resume(tmp_path):
+    """Failure injection (SURVEY §5.3/§5.4): a BA run killed mid-way must
+    resume from its on-disk checkpoint and land exactly where an
+    uninterrupted segmented run lands."""
+    from sphericalsfm_tpu.optim.ba import bundle_adjust_checkpointed
+
+    cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w = make_scene(seed=2, noise=0.5)
+    rng = np.random.default_rng(0)
+    prob = build_problem(
+        cam_r + rng.normal(size=cam_r.shape) * 0.01, cam_t,
+        pts + rng.normal(size=pts.shape) * 0.05,
+        obs_cam, obs_pt, obs_uv, w,
+    )
+
+    # uninterrupted segmented run
+    ck_a = str(tmp_path / "a.npz")
+    res_full = bundle_adjust_checkpointed(prob, ck_a, max_iters=12, segment=4)
+
+    # "crash" after one segment: first invocation only allowed 4 iters...
+    ck_b = str(tmp_path / "b.npz")
+    res_part = bundle_adjust_checkpointed(prob, ck_b, max_iters=4, segment=4)
+    assert int(res_part.iterations) == 4
+    # ...then a fresh invocation resumes from the checkpoint file
+    res_resumed = bundle_adjust_checkpointed(prob, ck_b, max_iters=12, segment=4)
+
+    assert int(res_resumed.iterations) == int(res_full.iterations)
+    np.testing.assert_allclose(np.asarray(res_resumed.cost),
+                               np.asarray(res_full.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_resumed.cam_r),
+                               np.asarray(res_full.cam_r), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_resumed.points),
+                               np.asarray(res_full.points), atol=1e-12)
+    # the run actually optimized
+    assert float(res_full.cost) < float(res_full.initial_cost) * 0.5

@@ -165,3 +165,47 @@ def test_ring_matching_compact_scale():
                                   np.asarray(i0_ref)[np.asarray(mk_ref)])
     np.testing.assert_array_equal(i1[sel][mk[sel]],
                                   np.asarray(i1_ref)[np.asarray(mk_ref)])
+
+
+def test_sharded_retriangulate_matches_single_device():
+    """Point-axis sharded retriangulation (SURVEY §2.5 P3) must reproduce
+    the single-device vmapped result on the 8-way mesh."""
+    from sphericalsfm_tpu.parallel import sharded_retriangulate
+    from sphericalsfm_tpu.ransac.triangulation import triangulation_ransac
+    from sphericalsfm_tpu.geometry import so3_exp as _exp
+
+    rng = np.random.default_rng(3)
+    P, T = 64, 8  # 64 tracks of up to 8 observations
+    C = 12
+    phi = np.arange(C) * 2 * np.pi / C
+    cam_r = np.stack([np.zeros(C), phi, np.zeros(C)], -1)
+    cam_t = np.tile([0, 0, -1.0], (C, 1))
+    R = np.asarray(_exp(jnp.asarray(cam_r)))
+    pts = rng.normal(size=(P, 3)) * [3, 1, 3] + [0, 0, 6]
+    FOCAL = 600.0
+
+    cams = np.stack([rng.choice(C, T, replace=False) for _ in range(P)])
+    px = np.einsum("ptij,pj->pti", R[cams], pts) + cam_t[cams]
+    uv = FOCAL * px[..., :2] / np.maximum(px[..., 2:], 0.1)
+    uv += rng.normal(size=uv.shape) * 0.5
+    mask = px[..., 2] > 0.5
+
+    keys = jax.random.split(jax.random.PRNGKey(7), P)
+    args = (jnp.asarray(cam_r[cams]), jnp.asarray(cam_t[cams]),
+            jnp.asarray(uv), jnp.asarray(mask))
+
+    mesh = make_mesh(8)
+    res_sh = sharded_retriangulate(mesh, keys, *args, focal=FOCAL,
+                                   num_hypotheses=16)
+
+    run = jax.vmap(lambda k, a, b, c, d: triangulation_ransac(
+        k, a, b, c, d, jnp.asarray(FOCAL), num_hypotheses=16))
+    res_1d = run(keys, *args)
+
+    np.testing.assert_array_equal(np.asarray(res_sh.ok), np.asarray(res_1d.ok))
+    np.testing.assert_allclose(np.asarray(res_sh.X), np.asarray(res_1d.X),
+                               rtol=1e-5, atol=1e-5)
+    ok = np.asarray(res_sh.ok)
+    assert ok.sum() > P // 2  # most tracks triangulate
+    err = np.linalg.norm(np.asarray(res_sh.X)[ok] - pts[ok], axis=-1)
+    assert np.median(err) < 0.1

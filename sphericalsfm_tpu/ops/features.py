@@ -259,6 +259,9 @@ def detect_and_describe(
     octave_images = []
     oct_img = base
     for o in range(num_octaves):
+        # NOTE: collapsing this chain into one multi-channel direct-from-base
+        # conv pair was tried and reverted: it saves ~15 ms/frame at runtime
+        # but balloons XLA compile of the full kernel from 42 s to 240-450 s.
         sigmas = [(_SIGMA0 * (k_geom**s)) for s in range(_NUM_SCALES + 3)]
         gauss = [oct_img]
         for s in range(1, _NUM_SCALES + 3):
@@ -354,79 +357,87 @@ def detect_and_describe(
         gx_pack = gx_pack.at[o * S3 : o * S3 + S3, :h_o, :w_o].set(gx)
         gy_pack = gy_pack.at[o * S3 : o * S3 + S3, :h_o, :w_o].set(gy)
 
+    # Per-keypoint work is patch-local: ONE contiguous dynamic_slice per
+    # keypoint (rows vectorize, unlike the per-sample bilinear gathers this
+    # replaces — those were ~4.5M random scalar gathers per frame and
+    # dominated the kernel), then orientation and descriptor are elementwise
+    # math over the patch's integer pixels (the OpenCV-SIFT iteration
+    # scheme: each pixel contributes at its own offset; no resampling).
+    PATCH = 40  # covers the 5.33σ orientation window at the largest layer σ
+
     def keypoint_frame(i):
         """Orientation and descriptor of one keypoint (vmapped)."""
         o = jnp.clip(octv_k[i], 0, num_octaves - 1)
         lay = layer_k[i]
         layer_idx = o * S3 + lay + 1
-        x = xy[i, 0]
-        y = xy[i, 1]
         sig = scale_k[i]
         inv = jnp.exp2(-o.astype(jnp.float32))
-        xo = x * inv
-        yo = y * inv
+        xo = xy[i, 0] * inv
+        yo = xy[i, 1] * inv
         sig_o = sig * inv
-        # true octave image bounds for clamping inside the padded canvas
-        w_lim = W * inv - 1.001
-        h_lim = H * inv - 1.001
 
-        def sample(px, py):
-            px = jnp.clip(px, 0.0, w_lim)
-            py = jnp.clip(py, 0.0, h_lim)
-            return (
-                _bilinear_layer(gx_pack, layer_idx, px, py),
-                _bilinear_layer(gy_pack, layer_idx, px, py),
-            )
+        x0 = jnp.clip(jnp.floor(xo).astype(jnp.int32) - PATCH // 2 + 1,
+                      0, W - PATCH)
+        y0 = jnp.clip(jnp.floor(yo).astype(jnp.int32) - PATCH // 2 + 1,
+                      0, H - PATCH)
+        gxp = jax.lax.dynamic_slice(
+            gx_pack, (layer_idx, y0, x0), (1, PATCH, PATCH))[0]
+        gyp = jax.lax.dynamic_slice(
+            gy_pack, (layer_idx, y0, x0), (1, PATCH, PATCH))[0]
+        # pixel offsets relative to the (subpixel) keypoint center
+        dx = (x0.astype(jnp.float32) + jnp.arange(PATCH, dtype=jnp.float32)
+              )[None, :] - xo
+        dy = (y0.astype(jnp.float32) + jnp.arange(PATCH, dtype=jnp.float32)
+              )[:, None] - yo
+        mag = jnp.hypot(gxp, gyp)
+        ang = jnp.arctan2(gyp, gxp)
+        d2 = dx * dx + dy * dy
 
-        # Orientation: 36-bin histogram of gradients in a Gaussian window.
-        R = 8  # window radius in scale units of the octave image
-        dy, dx = jnp.meshgrid(
-            jnp.arange(-R, R + 1, dtype=jnp.float32),
-            jnp.arange(-R, R + 1, dtype=jnp.float32),
-            indexing="ij",
+        # Orientation: 36-bin histogram, Gaussian σ = 4·σ_o/1.5 px, radius
+        # 8·σ_o/1.5 (the same window the sampled version integrated).
+        r_ori = sig_o / 1.5
+        wgt = jnp.exp(-d2 / (2.0 * (4.0 * r_ori) ** 2)) * (
+            d2 <= (8.0 * r_ori) ** 2
         )
-        gxs, gys = sample(xo + dx * sig_o / 1.5, yo + dy * sig_o / 1.5)
-        mag = jnp.hypot(gxs, gys)
-        ang = jnp.arctan2(gys, gxs)
-        wgt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * (0.5 * R) ** 2))
         bins = jnp.floor(
             (ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS
         ).astype(jnp.int32) % _ORI_BINS
-        # one-hot contraction, not .at[].add: vmapped scatters serialize on
-        # TPU; as a (samples, bins) matmul the histogram rides the MXU
-        hist = (mag * wgt).reshape(-1) @ (
-            bins.reshape(-1)[:, None] == jnp.arange(_ORI_BINS)[None, :]
-        ).astype(jnp.float32)
-        # smooth the histogram circularly
+        val = (mag * wgt).reshape(-1)
+        bins = bins.reshape(-1)
+        # per-bin masked reductions (sibling-fused by XLA), not .at[].add:
+        # vmapped scatters serialize on TPU
+        hist = jnp.stack(
+            [jnp.sum(jnp.where(bins == b, val, 0.0)) for b in range(_ORI_BINS)]
+        )
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         theta = (
             (jnp.argmax(hist).astype(jnp.float32) + 0.5) / _ORI_BINS
         ) * 2 * jnp.pi - jnp.pi
 
-        # Descriptor: 16×16 samples in the rotated frame → 4×4×8.
-        n = _DESC_PATCH
-        dyp, dxp = jnp.meshgrid(
-            (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
-            (jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5),
-            indexing="ij",
-        )
+        # Descriptor: rotate each pixel's offset into the keypoint frame,
+        # bin into 4×4 spatial cells × 8 orientations (unit = 0.4·σ_o px,
+        # support |u|,|v| ≤ 8 units like the 16×16 sampled grid it replaces).
         ct, st = jnp.cos(theta), jnp.sin(theta)
-        gxs2, gys2 = sample(
-            xo + (ct * dxp - st * dyp) * sig_o * 0.4,
-            yo + (st * dxp + ct * dyp) * sig_o * 0.4,
-        )
-        mag2 = jnp.hypot(gxs2, gys2)
-        ang2 = jnp.arctan2(gys2, gxs2) - theta
-        wgt2 = jnp.exp(-(dxp * dxp + dyp * dyp) / (2.0 * (n / 2) ** 2))
-        cell_y = jnp.clip((dyp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
-        cell_x = jnp.clip((dxp + n / 2) // (n // 4), 0, 3).astype(jnp.int32)
+        unit = 0.4 * sig_o
+        u = (ct * dx + st * dy) / unit
+        v = (-st * dx + ct * dy) / unit
+        inside = (jnp.abs(u) < 8.0) & (jnp.abs(v) < 8.0)
+        wgt2 = jnp.exp(-(u * u + v * v) / (2.0 * 8.0**2)) * inside
+        cell_x = jnp.clip(jnp.floor((u + 8.0) / 4.0), 0, 3).astype(jnp.int32)
+        cell_y = jnp.clip(jnp.floor((v + 8.0) / 4.0), 0, 3).astype(jnp.int32)
+        ang2 = ang - theta
         obin = jnp.floor(
             ((ang2 + 3 * jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * 8
         ).astype(jnp.int32) % 8
-        flat_bin = (cell_y * 4 + cell_x) * 8 + obin
-        desc = (mag2 * wgt2).reshape(-1) @ (
-            flat_bin.reshape(-1)[:, None] == jnp.arange(128)[None, :]
-        ).astype(jnp.float32)
+        cell = (cell_y * 4 + cell_x).reshape(-1)
+        val2 = (mag * wgt2).reshape(-1)
+        # separable one-hot contraction (cell ⊗ orientation-bin): one batched
+        # 16×P×8 matmul instead of 128 unrolled masked reductions — same
+        # result, ~5× less compile time
+        oh_cell = (cell[:, None] == jnp.arange(16)[None, :]).astype(jnp.float32)
+        oh_ob = (obin.reshape(-1)[:, None] == jnp.arange(8)[None, :]).astype(
+            jnp.float32)
+        desc = jnp.einsum("p,pa,pb->ab", val2, oh_cell, oh_ob).reshape(128)
         return theta, desc
 
     thetas, descs = jax.vmap(keypoint_frame)(jnp.arange(max_keypoints))

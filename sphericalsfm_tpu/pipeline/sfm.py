@@ -173,9 +173,14 @@ class SfMMap:
         self.points = np.where(ok[:, None], X, 0.0)
 
     def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",
-                 loss_scale: float = 1.0) -> dict:
+                 loss_scale: float = 1.0, ftol: float = 1e-6) -> dict:
         """Robust BA (reference Optimize, sfm.cpp:228-290): points with <3
-        observations or at the origin are excluded; Cauchy(1.0) loss."""
+        observations or at the origin are excluded; Cauchy(1.0) loss.
+
+        ftol defaults to Ceres' function_tolerance default (1e-6), which the
+        reference's ConfigureSolverOptions (sfm.cpp:200-212) leaves untouched
+        — with the previous 1e-9 the f32 path could never terminate early and
+        every BA burned its full max_iters."""
         if self.num_cameras == 0 or self.num_points == 0:
             return {}
         pv = self.point_valid()
@@ -208,7 +213,7 @@ class SfMMap:
         )
         res = bundle_adjust(prob, max_iters=max_iters,
                             loss_scale=loss_scale,
-                            solve_dtype_name=solve_dtype)
+                            solve_dtype_name=solve_dtype, ftol=ftol)
         self.cam_t = np.asarray(res.cam_t)
         self.cam_r = np.asarray(res.cam_r)
         upd = np.asarray(res.points)

@@ -105,12 +105,15 @@ def detect_features(
         feats = detect_batch(jnp.asarray(imgs), max_keypoints=K,
                              num_octaves=cfg.num_octaves)
         pending.append((feats, _quantize_desc(feats.descriptor), e - s))
-    xy = np.concatenate([np.asarray(p.xy)[:n] for p, _, n in pending])
-    desc = np.concatenate([np.asarray(q)[:n] for _, q, n in pending]) \
-        .astype(np.float32) / 512.0
-    valid = np.concatenate([np.asarray(p.valid)[:n] for p, _, n in pending])
-    desc_dev = jnp.concatenate([p.descriptor[:n] for p, _, n in pending])
+    # One device-side concat per output, then one fetch each — per-chunk
+    # np.asarray would pay the tunnel's fixed roundtrip 3× per chunk.
+    xy_dev = jnp.concatenate([p.xy[:n] for p, _, n in pending])
+    quant_dev = jnp.concatenate([q[:n] for _, q, n in pending])
     valid_dev = jnp.concatenate([p.valid[:n] for p, _, n in pending])
+    desc_dev = jnp.concatenate([p.descriptor[:n] for p, _, n in pending])
+    xy = np.asarray(xy_dev)
+    desc = np.asarray(quant_dev).astype(np.float32) / 512.0
+    valid = np.asarray(valid_dev)
     col = _sample_colors(xy, valid, color, H, W)
     return FrameFeatures(
         xy=xy, descriptor=desc, valid=valid, color=col,
@@ -185,9 +188,12 @@ def match_pairs(
         valid = jnp.asarray(feats.valid)
     M = cfg.max_matches_per_pair
 
+    # The pair gathers live INSIDE the jit: desc[a] at the call site would
+    # run as 4 eager device ops per chunk, each paying the axon tunnel's
+    # per-dispatch latency (this was most of the matching stage's wall).
     run = jax.jit(
-        lambda d0, d1, v0, v1: match_pairs_compact_batched(
-            d0, d1, v0, v1, M, ratio=cfg.match_ratio
+        lambda d, v, a, b: match_pairs_compact_batched(
+            d[a], d[b], v[a], v[b], M, ratio=cfg.match_ratio
         )
     )
     P = len(pair_i)
@@ -196,10 +202,16 @@ def match_pairs(
         e = min(s + chunk, P)
         a = pair_i[s:e]
         b = pair_j[s:e]
-        pending.append(run(desc[a], desc[b], valid[a], valid[b]))
-    return (np.concatenate([np.asarray(p[0]) for p in pending]),
-            np.concatenate([np.asarray(p[1]) for p in pending]),
-            np.concatenate([np.asarray(p[2]) for p in pending]))
+        if e - s < chunk:  # pad the tail: one compiled shape for all chunks
+            a = np.concatenate([a, np.zeros(chunk - (e - s), a.dtype)])
+            b = np.concatenate([b, np.zeros(chunk - (e - s), b.dtype)])
+        pending.append((run(desc, valid, jnp.asarray(a), jnp.asarray(b)),
+                        e - s))
+    # device-side concat, one fetch per output (not 3 per chunk)
+    i0 = jnp.concatenate([p[0][:n] for p, n in pending])
+    i1 = jnp.concatenate([p[1][:n] for p, n in pending])
+    mk = jnp.concatenate([p[2][:n] for p, n in pending])
+    return np.asarray(i0), np.asarray(i1), np.asarray(mk)
 
 
 def window_pairs(num_frames: int, adjacent_window: int,

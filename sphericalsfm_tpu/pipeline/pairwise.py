@@ -98,12 +98,22 @@ def estimate_pairwise(
     focal = float(np.asarray(intrinsics.focal))
     sq_thresh = (inlier_threshold_px / focal) ** 2
 
-    pts = jnp.asarray(points)
+    # Host-side prep (numpy): each jnp op here would run eagerly on the
+    # device and pay a per-op dispatch roundtrip over the axon tunnel.
+    pts = np.asarray(points, np.float32)
     uv0 = pts[pair_i[:, None], idx0]  # (P, Nmax, 2)
     uv1 = pts[pair_j[:, None], idx1]
-    u = pixels_to_rays(uv0, intrinsics)
-    v = pixels_to_rays(uv1, intrinsics)
-    mask = jnp.asarray(match_mask)
+    cx = float(np.asarray(intrinsics.cx))
+    cy = float(np.asarray(intrinsics.cy))
+
+    def rays(uv):
+        x = (uv[..., 0] - cx) / focal
+        y = (uv[..., 1] - cy) / focal
+        return np.stack([x, y, np.ones_like(x)], axis=-1)
+
+    u = rays(uv0)
+    v = rays(uv1)
+    mask = match_mask
 
     if adaptive:
         max_rounds = max(1, -(-num_hypotheses // round_size))
@@ -127,7 +137,8 @@ def estimate_pairwise(
             )
         )
 
-    # pad the pair axis so every chunk compiles to one shape
+    # pad the pair axis so every chunk compiles to one shape (host numpy —
+    # device slicing per chunk would be eager dispatches)
     n_chunks = -(-P // chunk_size)
     Ppad = n_chunks * chunk_size
 
@@ -135,20 +146,26 @@ def estimate_pairwise(
         if x.shape[0] == Ppad:
             return x
         widths = [(0, Ppad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths, constant_values=fill)
+        return np.pad(x, widths, constant_values=fill)
 
-    keys = pad(jax.random.split(key, P))
+    with jax.default_device(jax.devices("cpu")[0]):
+        keys = np.asarray(jax.random.split(key, P))
+    keys = pad(keys)
     u_p, v_p, mask_p = pad(u), pad(v), pad(mask, fill=False)
 
+    run = jax.jit(run)
     chunks = []
     for s in range(0, Ppad, chunk_size):
         e = s + chunk_size
-        chunks.append(run(keys[s:e], u_p[s:e], v_p[s:e], mask_p[s:e]))
-    # single host sync after the whole sweep is queued
-    r = np.concatenate([np.asarray(c.r) for c in chunks])[:P]
-    E = np.concatenate([np.asarray(c.E) for c in chunks])[:P]
-    num_inliers = np.concatenate([np.asarray(c.num_inliers) for c in chunks])[:P]
-    inlier_mask = np.concatenate([np.asarray(c.inlier_mask) for c in chunks])[:P]
+        chunks.append(run(jnp.asarray(keys[s:e]), jnp.asarray(u_p[s:e]),
+                          jnp.asarray(v_p[s:e]), jnp.asarray(mask_p[s:e])))
+    # device-side concat per output, then a single host sync for the sweep
+    r = np.asarray(jnp.concatenate([c.r for c in chunks]))[:P]
+    E = np.asarray(jnp.concatenate([c.E for c in chunks]))[:P]
+    num_inliers = np.asarray(
+        jnp.concatenate([c.num_inliers for c in chunks]))[:P]
+    inlier_mask = np.asarray(
+        jnp.concatenate([c.inlier_mask for c in chunks]))[:P]
 
     enough_matches = match_mask.sum(axis=1) >= min_num_inliers
     keep = (num_inliers > min_num_inliers) & enough_matches

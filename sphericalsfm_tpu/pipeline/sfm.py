@@ -168,8 +168,8 @@ class SfMMap:
         for s in range(0, Ppad, chunk):
             e = s + chunk
             outs.append(run(keys[s:e], rs[s:e], ts[s:e], uv[s:e], mask[s:e]))
-        X = np.concatenate([np.asarray(o.X) for o in outs])[:P]
-        ok = np.concatenate([np.asarray(o.ok) for o in outs])[:P]
+        X = np.asarray(jnp.concatenate([o.X for o in outs]))[:P]
+        ok = np.asarray(jnp.concatenate([o.ok for o in outs]))[:P]
         self.points = np.where(ok[:, None], X, 0.0)
 
     def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",

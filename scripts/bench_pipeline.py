@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--runs", type=int, default=2,
                     help="pipeline runs: first is cold (in-process), last "
                     "is warm; each uses a fresh output dir")
+    ap.add_argument("--matching", default="exhaustive",
+                    choices=("exhaustive", "windows"),
+                    help="pair candidates: O(F^2) exhaustive or the O(F) "
+                    "adjacent-band + loop-closure-window mode")
     args = ap.parse_args()
     W, H = (int(x) for x in args.size.split("x"))
     focal = 0.8 * W
@@ -81,6 +85,7 @@ def main():
     t_render = time.time() - t0
 
     cfg = PipelineConfig()
+    cfg.frontend.matching = args.matching
     cfg.frontend.max_keypoints = args.keypoints
     cfg.frontend.max_matches_per_pair = 512
     cfg.ransac.num_hypotheses = 512

@@ -70,6 +70,38 @@ def nullspace_exact(A: jnp.ndarray, k: int) -> jnp.ndarray:
     return _mgs_complete(A, k)
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of a batched (..., 3, 3).
+
+    TPU-friendly replacement for `jnp.linalg.inv` on small batched blocks:
+    the general path lowers to batched LU, which is slow to compile and run
+    on TPU; the adjugate is pure elementwise arithmetic. Caller guarantees
+    invertibility (BA uses it on damped SPD point blocks).
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def smallest_eigvec_3x3(S: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of a symmetric (..., 3, 3).
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.so3 import so3_exp
+from ..ops.linalg import inv3x3
 from .lm import cauchy_rho, cauchy_weight
 
 
@@ -202,9 +203,11 @@ def _schur_solve(
     Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
         lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
     )[..., None, :] * jnp.eye(3, dtype=dtype)
-    Hpp_inv = jnp.linalg.inv(
+    Hpp_inv = inv3x3(
         Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype)
     )  # (P, 3, 3); zero-track points → ~0 after masking below
+    # (closed-form adjugate: batched LU inv is a TPU tarpit — slow compile
+    # AND slow runtime on thousands of 3×3 blocks)
     Hpp_inv = jnp.where(
         (jnp.sum(p.track_mask, axis=-1) > 0)[:, None, None], Hpp_inv, 0.0
     )
@@ -363,7 +366,7 @@ def _schur_solve_pcg(
     Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
         lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
     )[..., None, :] * jnp.eye(3, dtype=dtype)
-    Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
+    Hpp_inv = inv3x3(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
     Hpp_inv = jnp.where(
         (jnp.sum(p.track_mask, axis=-1) > 0)[:, None, None], Hpp_inv, 0.0
     )

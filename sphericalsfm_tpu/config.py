@@ -26,6 +26,7 @@ class FrontendConfig:
     frame_stride: int = 1
     matching: str = "exhaustive"       # "exhaustive" O(F²) | "windows" O(F):
     adjacent_window: int = 3           # adjacent band width in windows mode
+    detect_batch: int = 16             # frames per detection kernel launch
 
 
 @dataclass
@@ -33,7 +34,7 @@ class RansacConfig:
     inlier_threshold_px: float = 2.0
     min_num_inliers: int = 100
     num_hypotheses: int = 1024         # cap (= round_size × max rounds)
-    pair_chunk: int = 64
+    pair_chunk: int = 128
     adaptive: bool = True              # RansacLib-style early termination
     round_size: int = 128              # hypotheses per adaptive round
     confidence: float = 0.99           # termination confidence

@@ -77,10 +77,12 @@ def detect_features(
     gray: np.ndarray,                   # (F, H, W) float32 [0, 1]
     color: np.ndarray | None = None,    # (F, H, W, 3) uint8
     cfg: FrontendConfig = FrontendConfig(),
-    batch: int = 8,
+    batch: int | None = None,
 ) -> FrameFeatures:
     """Detect features on every frame (batched TPU kernel, or OpenCV SIFT
     when cfg.detector == 'opencv' for cross-checks)."""
+    if batch is None:
+        batch = cfg.detect_batch
     F, H, W = gray.shape
     K = cfg.max_keypoints
     if cfg.detector == "opencv":

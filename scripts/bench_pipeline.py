@@ -31,37 +31,12 @@ from sphericalsfm_tpu.pipeline.driver import run_calibrated  # noqa: E402
 
 
 def render(num_frames, W, H, focal):
-    rng = np.random.default_rng(7)
-    n_waves = 600
-    wdir = rng.normal(size=(n_waves, 3))
-    wdir /= np.linalg.norm(wdir, axis=-1, keepdims=True)
-    wvec = wdir * rng.uniform(1.0, 25.0 * (W / 320), (n_waves, 1))
-    phase = rng.uniform(0, 2 * np.pi, n_waves)
-    amp = rng.uniform(0.3, 1.0, n_waves) / np.sqrt(n_waves)
-    phi = np.arange(num_frames) * 2 * np.pi / num_frames
-    cam_r = np.stack([np.zeros(num_frames), phi, np.zeros(num_frames)], -1)
-    cam_t = np.tile([0.0, 0.0, -1.0], (num_frames, 1))
-    R = np.asarray(so3_exp(jnp.asarray(cam_r)))
-    ys, xs = np.mgrid[0:H, 0:W]
-    dirs = np.stack([(xs - W / 2) / focal, (ys - H / 2) / focal,
-                     np.ones_like(xs, float)], -1)
-    frames = []
-    for i in range(num_frames):
-        c = -R[i].T @ cam_t[i]
-        d = dirs @ R[i]
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        cd = d @ c
-        tt = -cd[..., None] + np.sqrt((cd**2 - (c @ c) + 64.0)[..., None])
-        p = c + d * tt
-        # one (HW, n_waves) matmul instead of a python loop over waves
-        ph = p.reshape(-1, 3).astype(np.float32) @ wvec.T.astype(np.float32)
-        tex = (np.cos(ph + phase.astype(np.float32))
-               @ amp.astype(np.float32)).reshape(p.shape[:2])
-        tex = (tex - tex.min()) / (tex.max() - tex.min())
-        frames.append(tex.astype(np.float32))
-    gray = np.stack(frames)
-    color = (gray[..., None] * 255).astype(np.uint8).repeat(3, -1)
-    return cam_r, cam_t, gray, color
+    from sphericalsfm_tpu.eval.render import render_capture
+
+    return render_capture(
+        num_frames=num_frames, focal=focal, width=W, height=H,
+        wave_freq=25.0 * (W / 320),
+    )
 
 
 def main():

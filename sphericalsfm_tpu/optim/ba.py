@@ -71,6 +71,7 @@ class BAResult(NamedTuple):
     initial_cost: jnp.ndarray
     iterations: jnp.ndarray
     lam: jnp.ndarray | None = None  # final LM damping (for warm restart)
+    dec: jnp.ndarray | None = None  # final λ back-off factor (warm restart)
 
 
 def _residuals(focal, cam_t, cam_r, points, p: BAProblem):
@@ -304,7 +305,25 @@ def _schur_solve(
     Wt_dx = jnp.einsum("ptij,pti->pj", tU, dc_track)
     Ft_dx = tF_sum * d_f
     d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
-    return d_f, d_cam, d_pts
+    md = _model_decrease(
+        lam, d_f, d_cam, d_pts, b_f, b_c, b_p, Hff, diagC,
+        jnp.diagonal(Hpp, axis1=-2, axis2=-1),
+    )
+    return d_f, d_cam, d_pts, md
+
+
+def _model_decrease(lam, d_f, d_cam, d_pts, b_f, b_c, b_p, Hff, diagC, diagP):
+    """Predicted cost decrease of the damped GN step — the denominator of
+    Ceres's step quality ρ (trust_region_minimizer.cc). With
+    (H + λD)d = −g it reduces to −½·gᵀd + ½·λ·dᵀDd, so no extra H·d
+    product is needed; D is the per-block damping diagonal used above."""
+    gTd = (b_f * d_f + jnp.sum(b_c * d_cam) + jnp.sum(b_p * d_pts))
+    dDd = (
+        Hff * d_f * d_f
+        + jnp.sum(diagC * d_cam * d_cam)
+        + jnp.sum(jnp.maximum(diagP, 1e-12) * d_pts * d_pts)
+    )
+    return -0.5 * gTd + 0.5 * lam * dDd
 
 
 def _sorted_segment_sum(x, ptr):
@@ -581,7 +600,11 @@ def _schur_solve_pcg(
     Wt_dx = jnp.einsum("ptij,pti->pj", tU, d_cam_pad[tcam])
     Ft_dx = tF_sum * d_f
     d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
-    return d_f, d_cam, d_pts
+    md = _model_decrease(
+        lam, d_f, d_cam, d_pts, b_f, b_c, b_p, Hff, diagC,
+        jnp.diagonal(Hpp, axis1=-2, axis2=-1),
+    )
+    return d_f, d_cam, d_pts, md
 
 
 def sort_obs_by_camera(p: BAProblem) -> BAProblem:
@@ -614,6 +637,7 @@ def bundle_adjust(
     max_iters: int = 50,
     loss_scale: float = 1.0,
     init_lambda: float = 1e-4,
+    init_dec: float = 2.0,
     ftol: float = 1e-9,
     solve_dtype_name: str = "float64",
     camera_solver: str = "auto",
@@ -637,7 +661,7 @@ def bundle_adjust(
         p = sort_obs_by_camera(p)
     return _bundle_adjust_jit(
         p, max_iters=max_iters, loss_scale=loss_scale,
-        init_lambda=init_lambda, ftol=ftol,
+        init_lambda=init_lambda, init_dec=init_dec, ftol=ftol,
         solve_dtype_name=solve_dtype_name, camera_solver=camera_solver,
         pcg_iters=pcg_iters, pcg_rtol=pcg_rtol, pcg_coarse=pcg_coarse,
     )
@@ -678,7 +702,8 @@ def bundle_adjust_checkpointed(
                 cam_r=jnp.asarray(ck["cam_r"], p.points.dtype),
                 points=jnp.asarray(ck["points"], p.points.dtype),
             )
-            kw = dict(kw, init_lambda=float(ck["lam"]))
+            kw = dict(kw, init_lambda=float(ck["lam"]),
+                      init_dec=float(ck["dec"]) if "dec" in ck else 2.0)
 
     res = None
     while it0 < max_iters:
@@ -689,12 +714,13 @@ def bundle_adjust_checkpointed(
         it0 += int(res.iterations)
         p = p._replace(focal=res.focal, cam_t=res.cam_t, cam_r=res.cam_r,
                        points=res.points)
-        kw = dict(kw, init_lambda=res.lam)
+        kw = dict(kw, init_lambda=res.lam, init_dec=res.dec)
         tmp = checkpoint_path + ".tmp.npz"
         np.savez(
             tmp, focal=np.asarray(res.focal), cam_t=np.asarray(res.cam_t),
             cam_r=np.asarray(res.cam_r), points=np.asarray(res.points),
-            lam=np.asarray(res.lam), iterations=it0, initial_cost=c0,
+            lam=np.asarray(res.lam), dec=np.asarray(res.dec),
+            iterations=it0, initial_cost=c0,
             cost=np.asarray(res.cost),
         )
         os.replace(tmp, checkpoint_path)
@@ -718,6 +744,7 @@ def _bundle_adjust_jit(
     max_iters: int = 50,
     loss_scale: float = 1.0,
     init_lambda: float = 1e-4,
+    init_dec: float = 2.0,
     ftol: float = 1e-9,
     solve_dtype_name: str = "float64",
     camera_solver: str = "dense",
@@ -733,15 +760,15 @@ def _bundle_adjust_jit(
         return ba_cost(f, ct, cr, pts, p, loss_scale)
 
     def body(carry):
-        f, ct, cr, pts, lam, cost, it, done = carry
+        f, ct, cr, pts, lam, dec, cost, it, done = carry
         e, Jf, Jc, Jx = _per_obs_jacobians(f, ct, cr, pts, p)
         if camera_solver == "pcg":
-            d_f, d_cam, d_pts = _schur_solve_pcg(
+            d_f, d_cam, d_pts, md = _schur_solve_pcg(
                 e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype,
                 pcg_iters, pcg_rtol, pcg_coarse,
             )
         else:
-            d_f, d_cam, d_pts = _schur_solve(
+            d_f, d_cam, d_pts, md = _schur_solve(
                 e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
             )
         f_n = f + d_f
@@ -749,8 +776,19 @@ def _bundle_adjust_jit(
         cr_n = cr + d_cam[:, 3:]
         pts_n = pts + d_pts
         new_cost = cost_of((f_n, ct_n, cr_n, pts_n))
-        ok = jnp.isfinite(new_cost) & (new_cost < cost)
-        lam = jnp.where(ok, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+        # Ceres trust-region step control (levenberg_marquardt_strategy.cc /
+        # trust_region_minimizer.cc): accept when step quality
+        # ρ = actual/model decrease exceeds min_relative_decrease (1e-3);
+        # radius (1/λ) grows by the (2ρ−1)³ rule on success and halves with a
+        # doubling back-off on failure.
+        rho = (cost - new_cost) / jnp.maximum(md, 1e-30)
+        ok = jnp.isfinite(new_cost) & (md > 0) & (rho > 1e-3)
+        grow = jnp.maximum(
+            jnp.asarray(1.0 / 3.0, dtype),
+            1.0 - (2.0 * rho.astype(dtype) - 1.0) ** 3,
+        )
+        lam = jnp.where(ok, jnp.maximum(lam * grow, 1e-16), lam * dec)
+        dec = jnp.where(ok, jnp.asarray(2.0, dtype), dec * 2.0)
         f = jnp.where(ok, f_n, f)
         ct = jnp.where(ok, ct_n, ct)
         cr = jnp.where(ok, cr_n, cr)
@@ -758,14 +796,14 @@ def _bundle_adjust_jit(
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         cost2 = jnp.where(ok, new_cost, cost)
         done = (ok & (rel < ftol)) | (lam > 1e12)
-        return f, ct, cr, pts, lam, cost2, it + 1, done
+        return f, ct, cr, pts, lam, dec, cost2, it + 1, done
 
     def cond(carry):
         *_, it, done = carry
         return (it < max_iters) & (~done)
 
     c0 = cost_of((p.focal, p.cam_t, p.cam_r, p.points))
-    f, ct, cr, pts, lam, cost, it, _ = jax.lax.while_loop(
+    f, ct, cr, pts, lam, dec, cost, it, _ = jax.lax.while_loop(
         cond,
         body,
         (
@@ -774,6 +812,7 @@ def _bundle_adjust_jit(
             p.cam_r,
             p.points,
             jnp.asarray(init_lambda, dtype),
+            jnp.asarray(init_dec, dtype),
             c0,
             jnp.asarray(0),
             jnp.asarray(False),
@@ -781,7 +820,7 @@ def _bundle_adjust_jit(
     )
     return BAResult(
         focal=f, cam_t=ct, cam_r=cr, points=pts, cost=cost,
-        initial_cost=c0, iterations=it, lam=lam,
+        initial_cost=c0, iterations=it, lam=lam, dec=dec,
     )
 
 

@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--pano-width", type=int, default=2048)
     ap.add_argument("--nphi", type=int, default=5)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host CPU backend (sitecustomize registers "
+                    "the TPU tunnel before env vars can; this flips it back)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     W, H = (int(x) for x in args.size.split("x"))
     focal = 0.8 * W
 

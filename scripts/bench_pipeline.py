@@ -51,7 +51,16 @@ def main():
                     choices=("exhaustive", "windows"),
                     help="pair candidates: O(F^2) exhaustive or the O(F) "
                     "adjacent-band + loop-closure-window mode")
+    ap.add_argument("--uncalibrated", action="store_true",
+                    help="BASELINE config (3): run the shared-focal pipeline "
+                    "(focal search + pose graph) from a (W+H)/2 guess and "
+                    "report the recovered-focal error too")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host CPU backend (sitecustomize registers "
+                    "the TPU tunnel before env vars can; this flips it back)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     W, H = (int(x) for x in args.size.split("x"))
     focal = 0.8 * W
 
@@ -71,10 +80,17 @@ def main():
     intr = Intrinsics(jnp.asarray(focal), jnp.asarray(W / 2.0),
                       jnp.asarray(H / 2.0))
     walls = []
+    focal_est = None
     for run in range(max(args.runs, 1)):
         out = tempfile.mkdtemp()
         t0 = time.time()
-        m = run_calibrated(None, intr, out, cfg, gray=gray, color=color)
+        if args.uncalibrated:
+            from sphericalsfm_tpu.pipeline.driver import run_uncalibrated
+
+            m, focal_est = run_uncalibrated(
+                None, out, cfg, gray=gray, color=color)
+        else:
+            m = run_calibrated(None, intr, out, cfg, gray=gray, color=color)
         walls.append(time.time() - t0)
 
     # Per-stage breakdown of the final (warm) run, from the driver's
@@ -89,8 +105,9 @@ def main():
     centers_gt = -np.einsum("cji,cj->ci", R_gt, cam_t_gt)
     err = float(ate(jnp.asarray(np.asarray(m.centers(), np.float64)),
                     jnp.asarray(centers_gt)))
-    print(json.dumps({
-        "config": f"{args.frames} frames {W}x{H}, {args.keypoints} kp",
+    rec = {
+        "config": f"{args.frames} frames {W}x{H}, {args.keypoints} kp"
+        + (" (uncalibrated)" if args.uncalibrated else ""),
         "device": str(jax.devices()[0]),
         "render_s": round(t_render, 1),
         "pipeline_wall_s": round(walls[0], 1),
@@ -99,7 +116,13 @@ def main():
         "ate": round(err, 5),
         "points": int(m.point_valid().sum()),
         "stages_warm": stages,
-    }))
+    }
+    if focal_est is not None:
+        rec["focal_true"] = focal
+        rec["focal_est"] = round(float(focal_est), 2)
+        rec["focal_err_pct"] = round(
+            100.0 * abs(float(focal_est) - focal) / focal, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

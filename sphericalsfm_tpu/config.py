@@ -68,6 +68,11 @@ class BAConfig:
     loss_scale: float = 1.0            # Cauchy
     solve_dtype: str = "float64"       # "float32" on TPU
     filter_threshold_px: float = 8.0
+    # Inexact-Newton forcing for the PCG camera solve (>160 cameras): LM
+    # steps don't need the 1e-8 library-default solve accuracy, and the
+    # inner-iteration cap bounds per-step latency.
+    pcg_rtol: float = 1e-4
+    pcg_iters: int = 100
 
 
 @dataclass

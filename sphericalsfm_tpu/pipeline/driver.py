@@ -252,11 +252,13 @@ def run_calibrated(
     log.start("spherical_ba")
     stats1 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        loss_scale=cfg.ba.loss_scale)
+                        loss_scale=cfg.ba.loss_scale,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     m.retriangulate(jax.random.fold_in(key, 2))
     stats2 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        loss_scale=cfg.ba.loss_scale)
+                        loss_scale=cfg.ba.loss_scale,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
             **{f"ba2_{k}": v for k, v in stats2.items()})
     m.write_camera_centers_obj(os.path.join(output_dir, "pre-loop-cameras.obj"))
@@ -266,12 +268,14 @@ def run_calibrated(
     m.translation_fixed[0] = True
     stats3 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        loss_scale=cfg.ba.loss_scale)
+                        loss_scale=cfg.ba.loss_scale,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     m.normalize()
     m.retriangulate(jax.random.fold_in(key, 3))
     stats4 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        loss_scale=cfg.ba.loss_scale)
+                        loss_scale=cfg.ba.loss_scale,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     m.normalize()
     log.end(**{f"ba3_{k}": v for k, v in stats3.items()},
             **{f"ba4_{k}": v for k, v in stats4.items()})
@@ -457,10 +461,12 @@ def run_uncalibrated(
 
     log.start("spherical_ba")
     stats1 = m.optimize(max_iters=cfg.ba.max_iters,
-                        solve_dtype=cfg.ba.solve_dtype)
+                        solve_dtype=cfg.ba.solve_dtype,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     m.retriangulate(jax.random.fold_in(key, 2))
     stats2 = m.optimize(max_iters=cfg.ba.max_iters,
-                        solve_dtype=cfg.ba.solve_dtype)
+                        solve_dtype=cfg.ba.solve_dtype,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
             **{f"ba2_{k}": v for k, v in stats2.items()})
     m.write_colmap(os.path.join(output_dir, "sparse", "pre-general-ba"), W, H)
@@ -470,11 +476,13 @@ def run_uncalibrated(
         m.translation_fixed[:] = False
         m.translation_fixed[0] = True
         s3 = m.optimize(max_iters=cfg.ba.max_iters,
-                        solve_dtype=cfg.ba.solve_dtype)
+                        solve_dtype=cfg.ba.solve_dtype,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
         m.normalize()
         m.retriangulate(jax.random.fold_in(key, 3))
         s4 = m.optimize(max_iters=cfg.ba.max_iters,
-                        solve_dtype=cfg.ba.solve_dtype)
+                        solve_dtype=cfg.ba.solve_dtype,
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
         m.normalize()
         log.end(**{f"ba3_{k}": v for k, v in s3.items()},
                 **{f"ba4_{k}": v for k, v in s4.items()})

@@ -173,7 +173,8 @@ class SfMMap:
         self.points = np.where(ok[:, None], X, 0.0)
 
     def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",
-                 loss_scale: float = 1.0, ftol: float = 1e-6) -> dict:
+                 loss_scale: float = 1.0, ftol: float = 1e-6,
+                 pcg_rtol: float = 1e-4, pcg_iters: int = 100) -> dict:
         """Robust BA (reference Optimize, sfm.cpp:228-290): points with <3
         observations or at the origin are excluded; Cauchy(1.0) loss.
 
@@ -213,7 +214,8 @@ class SfMMap:
         )
         res = bundle_adjust(prob, max_iters=max_iters,
                             loss_scale=loss_scale,
-                            solve_dtype_name=solve_dtype, ftol=ftol)
+                            solve_dtype_name=solve_dtype, ftol=ftol,
+                            pcg_rtol=pcg_rtol, pcg_iters=pcg_iters)
         self.cam_t = np.asarray(res.cam_t)
         self.cam_r = np.asarray(res.cam_r)
         upd = np.asarray(res.points)

@@ -1,9 +1,15 @@
 """SO(3) utilities: skew, exp, log — batched, branchless, vmappable.
 
 Capability parity with the reference's so3.{h,cpp} (skew3, so3exp, so3ln;
-see /root/reference/src/so3.cpp:6-69) but written as pure jnp functions with
-`jnp.where` selects instead of data-dependent branches, so they trace cleanly
+see /root/reference/src/so3.cpp:6-69) but written as pure array functions with
+`where` selects instead of data-dependent branches, so they trace cleanly
 under jit/vmap and map onto the TPU VPU.
+
+The implementations are generic over the array namespace: `so3_exp`/`so3_log`
+are the jnp (device) versions; `np_so3_exp`/`np_so3_log` run the same math in
+host numpy — for host-side bookkeeping paths (SfMMap transforms, writers)
+where an eager device op would pay a per-call dispatch roundtrip over the
+TPU tunnel.
 
 Conventions: rotation matrices are world->camera; axis-angle vectors r satisfy
 R = exp([r]_x).
@@ -11,23 +17,117 @@ R = exp([r]_x).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 _SQRT1_2 = 0.7071067811865476
 
 
-def skew(v: jnp.ndarray) -> jnp.ndarray:
-    """Skew-symmetric cross-product matrix. v: (..., 3) -> (..., 3, 3)."""
+def _skew(v, xp):
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    zero = jnp.zeros_like(x)
-    return jnp.stack(
+    zero = xp.zeros_like(x)
+    return xp.stack(
         [
-            jnp.stack([zero, -z, y], axis=-1),
-            jnp.stack([z, zero, -x], axis=-1),
-            jnp.stack([-y, x, zero], axis=-1),
+            xp.stack([zero, -z, y], axis=-1),
+            xp.stack([z, zero, -x], axis=-1),
+            xp.stack([-y, x, zero], axis=-1),
         ],
         axis=-2,
     )
+
+
+def _exp(r, xp):
+    theta2 = xp.sum(r * r, axis=-1)
+    theta = xp.sqrt(theta2)
+    small = theta2 < 1e-16
+    # sin(θ)/θ and (1-cos θ)/θ² with guarded θ to avoid 0/0 under autodiff.
+    theta_safe = xp.where(small, xp.ones_like(theta), theta)
+    a = xp.where(small, 1.0 - theta2 / 6.0, xp.sin(theta_safe) / theta_safe)
+    b = xp.where(
+        small, 0.5 - theta2 / 24.0,
+        (1.0 - xp.cos(theta_safe)) / (theta_safe * theta_safe),
+    )
+    K = _skew(r, xp)
+    K2 = K @ K
+    eye = xp.broadcast_to(xp.eye(3, dtype=r.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * K2
+
+
+def _log(R, xp):
+    dtype = R.dtype
+    cos_angle = xp.clip(
+        (R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0
+    )
+    asym = 0.5 * xp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_abs = xp.linalg.norm(asym, axis=-1)
+    sin_safe = xp.where(sin_abs > 1e-12, sin_abs, xp.ones_like(sin_abs))
+
+    # Regime 1: θ in [0, π/4): r = asym * asin(|sin|)/|sin|
+    scale1 = xp.where(
+        sin_abs > 1e-12, xp.arcsin(xp.clip(sin_abs, -1.0, 1.0)) / sin_safe, 1.0
+    )
+    r1 = asym * scale1[..., None]
+
+    # Regime 2: θ in [π/4, 3π/4): r = asym * acos(cos)/|sin|
+    scale2 = xp.arccos(cos_angle) / sin_safe
+    r2 = asym * scale2[..., None]
+
+    # Regime 3: θ near π — antisymmetric part vanishes; recover the axis from
+    # the symmetric part. Pick the column with the largest diagonal excess.
+    angle3 = xp.pi - xp.arcsin(xp.clip(sin_abs, -1.0, 1.0))
+    d = xp.stack(
+        [
+            R[..., 0, 0] - cos_angle,
+            R[..., 1, 1] - cos_angle,
+            R[..., 2, 2] - cos_angle,
+        ],
+        axis=-1,
+    )
+    cand0 = xp.stack(
+        [d[..., 0], 0.5 * (R[..., 1, 0] + R[..., 0, 1]),
+         0.5 * (R[..., 0, 2] + R[..., 2, 0])],
+        axis=-1,
+    )
+    cand1 = xp.stack(
+        [0.5 * (R[..., 1, 0] + R[..., 0, 1]), d[..., 1],
+         0.5 * (R[..., 2, 1] + R[..., 1, 2])],
+        axis=-1,
+    )
+    cand2 = xp.stack(
+        [0.5 * (R[..., 0, 2] + R[..., 2, 0]),
+         0.5 * (R[..., 2, 1] + R[..., 1, 2]), d[..., 2]],
+        axis=-1,
+    )
+    absd = xp.abs(d)
+    use0 = (absd[..., 0] >= absd[..., 1]) & (absd[..., 0] >= absd[..., 2])
+    use1 = (~use0) & (absd[..., 1] >= absd[..., 2])
+    axis = xp.where(
+        use0[..., None], cand0, xp.where(use1[..., None], cand1, cand2)
+    )
+    # Align with the antisymmetric part's direction (sign disambiguation).
+    flip = xp.sum(axis * asym, axis=-1) < 0
+    axis = xp.where(flip[..., None], -axis, axis)
+    axis_norm = xp.linalg.norm(axis, axis=-1)
+    axis_norm = xp.where(axis_norm > 1e-12, axis_norm, xp.ones_like(axis_norm))
+    r3 = axis / axis_norm[..., None] * angle3[..., None]
+
+    in1 = cos_angle > _SQRT1_2
+    in2 = (~in1) & (cos_angle > -_SQRT1_2)
+    out = xp.where(in1[..., None], r1, xp.where(in2[..., None], r2, r3))
+    return out.astype(dtype)
+
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric cross-product matrix. v: (..., 3) -> (..., 3, 3)."""
+    return _skew(v, jnp)
 
 
 def so3_exp(r: jnp.ndarray) -> jnp.ndarray:
@@ -37,19 +137,7 @@ def so3_exp(r: jnp.ndarray) -> jnp.ndarray:
     a = sinθ/θ and b = (1-cosθ)/θ² evaluated via their Taylor limits near 0 so
     the function is smooth and finite everywhere (no data-dependent branch).
     """
-    theta2 = jnp.sum(r * r, axis=-1)
-    theta = jnp.sqrt(theta2)
-    small = theta2 < 1e-16
-    # sin(θ)/θ and (1-cos θ)/θ² with guarded θ to avoid 0/0 under autodiff.
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe)
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_safe)) / (theta_safe * theta_safe)
-    )
-    K = skew(r)
-    K2 = K @ K
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), K.shape)
-    return eye + a[..., None, None] * K + b[..., None, None] * K2
+    return _exp(r, jnp)
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
@@ -58,73 +146,19 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     Numerically-careful three-regime formulation (asin for small angles, acos
     for mid angles, symmetric part near π), mirroring the regime split of the
     reference implementation (so3.cpp:25-69) but fully branchless: all three
-    candidates are computed and blended with `jnp.where`.
+    candidates are computed and blended with `where`.
     """
-    dtype = R.dtype
-    cos_angle = jnp.clip(
-        (R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0
-    )
-    asym = 0.5 * jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin_abs = jnp.linalg.norm(asym, axis=-1)
-    sin_safe = jnp.where(sin_abs > 1e-12, sin_abs, jnp.ones_like(sin_abs))
+    return _log(R, jnp)
 
-    # Regime 1: θ in [0, π/4): r = asym * asin(|sin|)/|sin|
-    scale1 = jnp.where(
-        sin_abs > 1e-12, jnp.arcsin(jnp.clip(sin_abs, -1.0, 1.0)) / sin_safe, 1.0
-    )
-    r1 = asym * scale1[..., None]
 
-    # Regime 2: θ in [π/4, 3π/4): r = asym * acos(cos)/|sin|
-    scale2 = jnp.arccos(cos_angle) / sin_safe
-    r2 = asym * scale2[..., None]
+def np_so3_exp(r) -> np.ndarray:
+    """Host-numpy so3_exp — same math, no device dispatch."""
+    return _exp(np.asarray(r), np)
 
-    # Regime 3: θ near π — antisymmetric part vanishes; recover the axis from
-    # the symmetric part. Pick the column with the largest diagonal excess.
-    angle3 = jnp.pi - jnp.arcsin(jnp.clip(sin_abs, -1.0, 1.0))
-    d = jnp.stack(
-        [
-            R[..., 0, 0] - cos_angle,
-            R[..., 1, 1] - cos_angle,
-            R[..., 2, 2] - cos_angle,
-        ],
-        axis=-1,
-    )
-    cand0 = jnp.stack(
-        [d[..., 0], 0.5 * (R[..., 1, 0] + R[..., 0, 1]), 0.5 * (R[..., 0, 2] + R[..., 2, 0])],
-        axis=-1,
-    )
-    cand1 = jnp.stack(
-        [0.5 * (R[..., 1, 0] + R[..., 0, 1]), d[..., 1], 0.5 * (R[..., 2, 1] + R[..., 1, 2])],
-        axis=-1,
-    )
-    cand2 = jnp.stack(
-        [0.5 * (R[..., 0, 2] + R[..., 2, 0]), 0.5 * (R[..., 2, 1] + R[..., 1, 2]), d[..., 2]],
-        axis=-1,
-    )
-    absd = jnp.abs(d)
-    use0 = (absd[..., 0] >= absd[..., 1]) & (absd[..., 0] >= absd[..., 2])
-    use1 = (~use0) & (absd[..., 1] >= absd[..., 2])
-    axis = jnp.where(
-        use0[..., None], cand0, jnp.where(use1[..., None], cand1, cand2)
-    )
-    # Align with the antisymmetric part's direction (sign disambiguation).
-    flip = jnp.sum(axis * asym, axis=-1) < 0
-    axis = jnp.where(flip[..., None], -axis, axis)
-    axis_norm = jnp.linalg.norm(axis, axis=-1)
-    axis_norm = jnp.where(axis_norm > 1e-12, axis_norm, jnp.ones_like(axis_norm))
-    r3 = axis / axis_norm[..., None] * angle3[..., None]
 
-    in1 = cos_angle > _SQRT1_2
-    in2 = (~in1) & (cos_angle > -_SQRT1_2)
-    out = jnp.where(in1[..., None], r1, jnp.where(in2[..., None], r2, r3))
-    return out.astype(dtype)
+def np_so3_log(R) -> np.ndarray:
+    """Host-numpy so3_log — same math, no device dispatch."""
+    return _log(np.asarray(R), np)
 
 
 def rotation_angle(R: jnp.ndarray) -> jnp.ndarray:

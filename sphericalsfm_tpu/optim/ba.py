@@ -60,6 +60,11 @@ class BAProblem(NamedTuple):
     trans_fixed: jnp.ndarray  # (C,) bool
     point_fixed: jnp.ndarray  # (P,) bool
     cam_ptr: jnp.ndarray | None = None  # (C+1,) int32, obs sorted by camera
+    # Point-major view of the (camera-sorted) observation table, for the
+    # PCG path's O(K) point-side segment sums (the track table pads every
+    # point to the LONGEST track — ruinous when track lengths are skewed).
+    pt_order: jnp.ndarray | None = None  # (K,) int32: sorts obs by point
+    pt_ptr: jnp.ndarray | None = None    # (P+1,) int32 segment bounds
 
 
 class BAResult(NamedTuple):
@@ -362,36 +367,40 @@ def _schur_solve_pcg(
     Never materializes the (C, C, 6, 6) reduced system — the TPU-native
     answer to Ceres SPARSE_SCHUR (sfm.cpp:200-212) at the reference's
     every-frame-is-a-keyframe scale (thousands of cameras). Requires
-    `p.cam_ptr` (observations sorted by camera): every camera-side reduction
-    is a sorted segment sum; every point-side reduction rides the track
-    table. Cost per CG iteration is O(K·18 + P·T·18) with no C² term.
+    `p.cam_ptr`/`p.pt_ptr` (the observation table sorted by camera, plus the
+    point-major permutation of it): every reduction — camera side AND point
+    side — is an O(K) sorted segment sum, so the cost per CG iteration is
+    O(K·18) with no C² term and no dependence on the LONGEST track (the
+    track table pads every point to max track length, which is ruinous on
+    real video maps where a few tracks span hundreds of frames while the
+    mean is ~3). The track table is used only to build the coarse-grid
+    preconditioner, with track length capped (truncation only weakens the
+    preconditioner — the subtracted Galerkin term shrinks, so it stays SPD).
     """
     C = p.cam_t.shape[0]
+    Pn = p.points.shape[0]
     dtype = e.dtype
 
     e_w, Jf_w, Jc_w, Jx_w = _weight_and_mask(e, Jf, Jc, Jx, p, loss_scale)
 
-    # --- point-side blocks via the track table (shared with dense path) ---
-    Tmax = p.track_obs.shape[1]
-    tmaskf = p.track_mask.astype(dtype)
-    tJx = Jx_w[p.track_obs] * tmaskf[..., None, None]    # (P, T, 2, 3)
-    tJc = Jc_w[p.track_obs] * tmaskf[..., None, None]    # (P, T, 2, 6)
-    tJf = Jf_w[p.track_obs][..., 0] * tmaskf[..., None]  # (P, T, 2)
-    te = e_w[p.track_obs] * tmaskf[..., None]            # (P, T, 2)
-    tcam = jnp.where(p.track_mask, p.obs_cam[p.track_obs], C)  # (P, T)
+    def segsum_pt(x):
+        return _sorted_segment_sum(x[p.pt_order], p.pt_ptr)
 
-    Hpp = jnp.einsum("ptdi,ptdj->pij", tJx, tJx)
-    b_p = jnp.einsum("ptdi,ptd->pi", tJx, te)
+    # --- point-side blocks: one fused point-major segment sum ---
+    JxJx = jnp.einsum("kdi,kdj->kij", Jx_w, Jx_w).reshape(-1, 9)
+    bpk = jnp.einsum("kdi,kd->ki", Jx_w, e_w)            # (K, 3)
+    fxk = jnp.einsum("kd,kdj->kj", Jf_w[..., 0], Jx_w)   # (K, 3)
+    seg_p = segsum_pt(jnp.concatenate([JxJx, bpk, fxk], axis=-1))  # (P, 15)
+    Hpp = seg_p[:, :9].reshape(Pn, 3, 3)
+    b_p = seg_p[:, 9:12]
+    tF_sum = seg_p[:, 12:15]                             # Σ_k Jf·Jx per point
+
     Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
         lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
     )[..., None, :] * jnp.eye(3, dtype=dtype)
     Hpp_inv = inv3x3(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
-    Hpp_inv = jnp.where(
-        (jnp.sum(p.track_mask, axis=-1) > 0)[:, None, None], Hpp_inv, 0.0
-    )
-
-    tU = jnp.einsum("ptdi,ptdj->ptij", tJc, tJx)         # (P, T, 6, 3)
-    tF_sum = jnp.einsum("ptd,ptdj->pj", tJf, tJx)        # (P, 3)
+    has_obs = (p.pt_ptr[1:] - p.pt_ptr[:-1]) > 0
+    Hpp_inv = jnp.where(has_obs[:, None, None], Hpp_inv, 0.0)
 
     # --- camera-side blocks: one fused sorted segment sum ---
     Hk = jnp.einsum("kdi,kdj->kij", Jc_w, Jc_w).reshape(-1, 36)
@@ -460,7 +469,15 @@ def _schur_solve_pcg(
             return jnp.zeros((Cp,) + x.shape[1:], x.dtype).at[: x.shape[0]].set(x)
 
         # per-point per-group aggregates V[p, G, 6, 3] = Σ_{a: grp(cam)=G} U_a,
-        # chunked over points to bound one-hot memory (chunk × T × G).
+        # chunked over points to bound one-hot memory (chunk × T × G). The
+        # track table is used ONLY here, with track length capped: a
+        # truncated V only shrinks the subtracted Galerkin term, so the
+        # coarse system stays SPD — it is a preconditioner, not the operator.
+        Tc = min(p.track_obs.shape[1], 32)
+        tob = p.track_obs[:, :Tc]
+        tmk = p.track_mask[:, :Tc]
+        tU = U[tob] * tmk.astype(dtype)[..., None, None]     # (P, Tc, 6, 3)
+        tcam = jnp.where(tmk, p.obs_cam[tob], C)             # (P, Tc)
         P_pts = p.points.shape[0]
         chunkc = max(1, min(P_pts, 2048))
         nch = -(-P_pts // chunkc)
@@ -470,9 +487,9 @@ def _schur_solve_pcg(
                 : x.shape[0]
             ].set(x)
 
-        tgrp = jnp.where(p.track_mask, jnp.minimum(tcam // g, G), G)
-        tU_ch = padP(tU).reshape(nch, chunkc, Tmax, 6, 3)
-        tg_ch = padP(tgrp).reshape(nch, chunkc, Tmax)
+        tgrp = jnp.where(tmk, jnp.minimum(tcam // g, G), G)
+        tU_ch = padP(tU).reshape(nch, chunkc, Tc, 6, 3)
+        tg_ch = padP(tgrp).reshape(nch, chunkc, Tc)
         Hpi_ch = padP(Hpp_inv).reshape(nch, chunkc, 3, 3)
 
         def coarse_body(acc, xs):
@@ -509,29 +526,28 @@ def _schur_solve_pcg(
             Sg_eq + 1e-6 * jnp.eye(Dg, dtype=solve_dtype)
         )
 
-    tU_s = tU.astype(solve_dtype)
     U_s = U.astype(solve_dtype)
     Hpi_s = Hpp_inv.astype(solve_dtype)
     Hcc_ds = Hcc_d.astype(solve_dtype)
+    tF_s = tF_sum.astype(solve_dtype)
     obs_pt = p.obs_pt
+    obs_cam = p.obs_cam
 
     def matvec(vc, vf):
-        # point side: y_p = Wᵀ vc + F vf, z_p = Hpp⁻¹ y_p. The point
-        # reduction of BOTH the camera and the focal coupling rides through
-        # z, so the camera/focal terms here use the RAW couplings Hfc/Hff_d:
+        # point side: y_p = Wᵀ vc + F vf, z_p = Hpp⁻¹ y_p — all per-obs +
+        # point-major segment sum, O(K) regardless of track-length skew. The
+        # point reduction of BOTH the camera and the focal coupling rides
+        # through z, so the camera/focal terms use the RAW couplings:
         #   out_c = Hcc_d vc + Hfc vf − W z  = S_cc vc + S_cf vf
         #   out_f = Hfc·vc + Hff_d vf − F·z  = S_fc·vc + S_ff vf
-        vc_pad = jnp.concatenate([vc, jnp.zeros((1, 6), solve_dtype)], axis=0)
-        y = jnp.einsum("ptij,pti->pj", tU_s, vc_pad[tcam])
-        y = y + tF_sum.astype(solve_dtype) * vf
+        yk = jnp.einsum("kij,ki->kj", U_s, vc[obs_cam])     # Uᵀ vc per obs
+        y = _sorted_segment_sum(yk[p.pt_order], p.pt_ptr) + tF_s * vf
         z = jnp.einsum("pij,pj->pi", Hpi_s, y)
-        # camera side: (W z)[c] via sorted segment sum
+        # camera side: (W z)[c] via camera-major segment sum
         wk = jnp.einsum("kij,kj->ki", U_s, z[obs_pt])
         Wz = _sorted_segment_sum(wk, p.cam_ptr)
         out_c = jnp.einsum("cij,cj->ci", Hcc_ds, vc) - Wz + Hfc_s * vf
-        out_f = jnp.sum(Hfc_s * vc) + Hff_d * vf - jnp.sum(
-            tF_sum.astype(solve_dtype) * z
-        )
+        out_f = jnp.sum(Hfc_s * vc) + Hff_d * vf - jnp.sum(tF_s * z)
         return out_c, out_f
 
     def precond(rc, rf):
@@ -595,9 +611,9 @@ def _schur_solve_pcg(
     d_cam = xc.astype(dtype)
     d_f = xf.astype(dtype)
 
-    # --- back-substitute points (same as dense path) ---
-    d_cam_pad = jnp.concatenate([d_cam, jnp.zeros((1, 6), dtype)], axis=0)
-    Wt_dx = jnp.einsum("ptij,pti->pj", tU, d_cam_pad[tcam])
+    # --- back-substitute points: per-obs + point-major segment sum ---
+    wk = jnp.einsum("kij,ki->kj", U, d_cam[p.obs_cam])
+    Wt_dx = segsum_pt(wk)
     Ft_dx = tF_sum * d_f
     d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
     md = _model_decrease(
@@ -622,13 +638,21 @@ def sort_obs_by_camera(p: BAProblem) -> BAProblem:
     C = p.cam_t.shape[0]
     counts = np.bincount(obs_cam, minlength=C)
     ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    # point-major permutation of the camera-sorted table
+    obs_pt_sorted = np.asarray(p.obs_pt)[order]
+    P = p.points.shape[0]
+    pt_order = np.argsort(obs_pt_sorted, kind="stable").astype(np.int32)
+    pt_counts = np.bincount(obs_pt_sorted, minlength=P)
+    pt_ptr = np.concatenate([[0], np.cumsum(pt_counts)]).astype(np.int32)
     return p._replace(
         obs_cam=jnp.asarray(obs_cam[order]),
-        obs_pt=jnp.asarray(np.asarray(p.obs_pt)[order]),
+        obs_pt=jnp.asarray(obs_pt_sorted),
         obs_uv=jnp.asarray(np.asarray(p.obs_uv)[order]),
         obs_w=jnp.asarray(np.asarray(p.obs_w)[order]),
         track_obs=jnp.asarray(inv[np.asarray(p.track_obs)].astype(np.int32)),
         cam_ptr=jnp.asarray(ptr),
+        pt_order=jnp.asarray(pt_order),
+        pt_ptr=jnp.asarray(pt_ptr),
     )
 
 
@@ -657,7 +681,7 @@ def bundle_adjust(
     C = p.cam_t.shape[0]
     if camera_solver == "auto":
         camera_solver = "pcg" if C > 160 else "dense"
-    if camera_solver == "pcg" and p.cam_ptr is None:
+    if camera_solver == "pcg" and (p.cam_ptr is None or p.pt_ptr is None):
         p = sort_obs_by_camera(p)
     return _bundle_adjust_jit(
         p, max_iters=max_iters, loss_scale=loss_scale,

@@ -155,6 +155,12 @@ def shard_ba_problem(mesh: Mesh, p: BAProblem) -> BAProblem:
         cam_ptr=(
             None if p.cam_ptr is None else jax.device_put(p.cam_ptr, rep)
         ),
+        pt_order=(
+            None if p.pt_order is None else jax.device_put(p.pt_order, sh)
+        ),
+        pt_ptr=(
+            None if p.pt_ptr is None else jax.device_put(p.pt_ptr, rep)
+        ),
     )
 
 
@@ -175,7 +181,7 @@ def distributed_bundle_adjust(
     """
     from ..optim.ba import bundle_adjust, sort_obs_by_camera
 
-    if camera_solver == "pcg" and p.cam_ptr is None:
+    if camera_solver == "pcg" and (p.cam_ptr is None or p.pt_ptr is None):
         p = sort_obs_by_camera(p)  # host-side sort before laying out shards
     p_sharded = shard_ba_problem(mesh, p)
     with mesh:

@@ -250,17 +250,22 @@ def run_calibrated(
     log.end(points=int(m.point_valid().sum()), tracks=tracks.num_points)
 
     log.start("spherical_ba")
+    t0 = time.perf_counter()
     stats1 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+    t1 = time.perf_counter()
     m.retriangulate(jax.random.fold_in(key, 2))
+    t2 = time.perf_counter()
     stats2 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
-            **{f"ba2_{k}": v for k, v in stats2.items()})
+            **{f"ba2_{k}": v for k, v in stats2.items()},
+            ba1_s=round(t1 - t0, 2), retri_s=round(t2 - t1, 2),
+            ba2_s=round(time.perf_counter() - t2, 2))
     m.write_camera_centers_obj(os.path.join(output_dir, "pre-loop-cameras.obj"))
 
     log.start("general_ba")

@@ -22,9 +22,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from ..config import FrontendConfig
 from ..ops.features import detect_batch
 from ..ops.matching import match_pairs_compact_batched
+
+
+@partial(jax.jit, static_argnames=("max_matches", "ratio"))
+def _match_chunk(desc, valid, a, b, *, max_matches, ratio):
+    """One jitted matching chunk; the pair gathers live INSIDE the jit
+    (eager desc[a] would be 4 device dispatches per chunk over the tunnel).
+    Module-level so repeated calls hit the in-memory jit cache."""
+    return match_pairs_compact_batched(
+        desc[a], desc[b], valid[a], valid[b], max_matches, ratio=ratio
+    )
 
 
 class FrameFeatures(NamedTuple):
@@ -190,14 +202,6 @@ def match_pairs(
         valid = jnp.asarray(feats.valid)
     M = cfg.max_matches_per_pair
 
-    # The pair gathers live INSIDE the jit: desc[a] at the call site would
-    # run as 4 eager device ops per chunk, each paying the axon tunnel's
-    # per-dispatch latency (this was most of the matching stage's wall).
-    run = jax.jit(
-        lambda d, v, a, b: match_pairs_compact_batched(
-            d[a], d[b], v[a], v[b], M, ratio=cfg.match_ratio
-        )
-    )
     P = len(pair_i)
     pending = []
     for s in range(0, P, chunk):  # dispatch all chunks, fetch afterwards
@@ -207,7 +211,9 @@ def match_pairs(
         if e - s < chunk:  # pad the tail: one compiled shape for all chunks
             a = np.concatenate([a, np.zeros(chunk - (e - s), a.dtype)])
             b = np.concatenate([b, np.zeros(chunk - (e - s), b.dtype)])
-        pending.append((run(desc, valid, jnp.asarray(a), jnp.asarray(b)),
+        pending.append((_match_chunk(desc, valid, jnp.asarray(a),
+                                     jnp.asarray(b), max_matches=M,
+                                     ratio=cfg.match_ratio),
                         e - s))
     # device-side concat, one fetch per output (not 3 per chunk)
     i0 = jnp.concatenate([p[0][:n] for p, n in pending])

@@ -15,6 +15,7 @@ bounded. Host code only assembles the padded tables and filters results.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -24,6 +25,27 @@ import jax.numpy as jnp
 
 from ..geometry.pose import Intrinsics, pixels_to_rays
 from ..ransac.spherical import spherical_ransac, spherical_ransac_adaptive
+
+
+@partial(jax.jit, static_argnames=(
+    "adaptive", "num_hypotheses", "round_size", "max_rounds", "confidence",
+    "inward"))
+def _pairwise_chunk(keys, u, v, mask, sq_thresh, *, adaptive, num_hypotheses,
+                    round_size, max_rounds, confidence, inward):
+    """One jitted chunk of the pairwise RANSAC sweep. Module-level so every
+    driver call hits the in-memory jit cache (a wrapper built inside
+    estimate_pairwise would retrace per call)."""
+    if adaptive:
+        fn = lambda k, uu, vv, mm: spherical_ransac_adaptive(  # noqa: E731
+            k, uu, vv, mm, sq_thresh=sq_thresh, round_size=round_size,
+            max_rounds=max_rounds, confidence=confidence, inward=inward,
+        )
+    else:
+        fn = lambda k, uu, vv, mm: spherical_ransac(  # noqa: E731
+            k, uu, vv, mm, sq_thresh=sq_thresh,
+            num_hypotheses=num_hypotheses, inward=inward,
+        )
+    return jax.vmap(fn)(keys, u, v, mask)
 
 
 class PairwiseResult(NamedTuple):
@@ -115,27 +137,7 @@ def estimate_pairwise(
     v = rays(uv1)
     mask = match_mask
 
-    if adaptive:
-        max_rounds = max(1, -(-num_hypotheses // round_size))
-        run = jax.vmap(
-            lambda k, uu, vv, mm: spherical_ransac_adaptive(
-                k, uu, vv, mm,
-                sq_thresh=jnp.asarray(sq_thresh),
-                round_size=round_size,
-                max_rounds=max_rounds,
-                confidence=confidence,
-                inward=inward,
-            )
-        )
-    else:
-        run = jax.vmap(
-            lambda k, uu, vv, mm: spherical_ransac(
-                k, uu, vv, mm,
-                sq_thresh=jnp.asarray(sq_thresh),
-                num_hypotheses=num_hypotheses,
-                inward=inward,
-            )
-        )
+    max_rounds = max(1, -(-num_hypotheses // round_size))
 
     # pad the pair axis so every chunk compiles to one shape (host numpy —
     # device slicing per chunk would be eager dispatches)
@@ -153,12 +155,16 @@ def estimate_pairwise(
     keys = pad(keys)
     u_p, v_p, mask_p = pad(u), pad(v), pad(mask, fill=False)
 
-    run = jax.jit(run)
     chunks = []
     for s in range(0, Ppad, chunk_size):
         e = s + chunk_size
-        chunks.append(run(jnp.asarray(keys[s:e]), jnp.asarray(u_p[s:e]),
-                          jnp.asarray(v_p[s:e]), jnp.asarray(mask_p[s:e])))
+        chunks.append(_pairwise_chunk(
+            jnp.asarray(keys[s:e]), jnp.asarray(u_p[s:e]),
+            jnp.asarray(v_p[s:e]), jnp.asarray(mask_p[s:e]),
+            jnp.asarray(sq_thresh),
+            adaptive=adaptive, num_hypotheses=num_hypotheses,
+            round_size=round_size, max_rounds=max_rounds,
+            confidence=confidence, inward=inward))
     # device-side concat per output, then a single host sync for the sweep
     r = np.asarray(jnp.concatenate([c.r for c in chunks]))[:P]
     E = np.asarray(jnp.concatenate([c.E for c in chunks]))[:P]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 
@@ -23,14 +24,30 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.pose import Intrinsics
-from ..geometry.so3 import so3_exp, so3_log
+from ..geometry.so3 import np_so3_exp, np_so3_log
 from ..optim.ba import BAProblem, bundle_adjust, build_tracks
 from ..ransac.triangulation import triangulation_ransac
 from .tracks import Tracks
 
 
 def _rotmat(r):
-    return np.asarray(so3_exp(jnp.asarray(r)))
+    # Host numpy: this runs in bookkeeping paths (centers, reprojection
+    # errors, similarity transforms) where an eager device op would pay a
+    # per-call dispatch roundtrip over the TPU tunnel.
+    return np_so3_exp(r)
+
+
+@partial(jax.jit, static_argnames=("sq_thresh", "num_hypotheses"))
+def _retri_chunk(keys, rs, ts, uv, mask, focal, *, sq_thresh, num_hypotheses):
+    """One jitted retriangulation chunk. Module-level so repeated
+    retriangulate() calls hit the in-memory jit cache — a jit wrapper built
+    inside the method would retrace on every call."""
+    return jax.vmap(
+        lambda k, a, b, c, d: triangulation_ransac(
+            k, a, b, c, d, focal, sq_thresh=sq_thresh,
+            num_hypotheses=num_hypotheses,
+        )
+    )(keys, rs, ts, uv, mask)
 
 
 @dataclass
@@ -135,18 +152,17 @@ class SfMMap:
             return
         key = jax.random.PRNGKey(0) if key is None else key
         track_obs, track_mask = self._track_tables()
-        rs = jnp.asarray(self.cam_r)[self.obs_cam][track_obs]
-        ts = jnp.asarray(self.cam_t)[self.obs_cam][track_obs]
-        uv = jnp.asarray(self.obs_uv)[track_obs]
-        mask = jnp.asarray(track_mask)
-        focal = jnp.asarray(float(np.asarray(self.intrinsics.focal)))
+        # All prep is host numpy: every eager jnp gather/pad here would pay a
+        # per-op dispatch roundtrip over the axon tunnel (this alone was
+        # ~1.3 s of a 16 s end-to-end run).
+        cam_of_obs = np.asarray(self.obs_cam)[np.asarray(track_obs)]
+        rs = np.asarray(self.cam_r)[cam_of_obs]
+        ts = np.asarray(self.cam_t)[cam_of_obs]
+        uv = np.asarray(self.obs_uv)[np.asarray(track_obs)]
+        mask = np.asarray(track_mask)
+        focal = float(np.asarray(self.intrinsics.focal))
+        dt = rs.dtype.type
 
-        run = jax.vmap(
-            lambda k, a, b, c, d: triangulation_ransac(
-                k, a, b, c, d, focal, sq_thresh=sq_thresh,
-                num_hypotheses=num_hypotheses,
-            )
-        )
         # Pad the point axis to whole chunks (one compiled shape) and queue
         # every chunk before fetching any result — a per-chunk np.asarray
         # would serialize host and device (the axon tunnel charges ~30 ms
@@ -159,15 +175,21 @@ class SfMMap:
             if x.shape[0] == Ppad:
                 return x
             widths = [(0, Ppad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths, constant_values=fill)
+            return np.pad(x, widths, constant_values=fill)
 
-        keys = pad(jax.random.split(key, P))
+        with jax.default_device(jax.devices("cpu")[0]):
+            keys = np.asarray(jax.random.split(key, P))
+        keys = pad(keys)
         rs, ts, uv = pad(rs), pad(ts), pad(uv)
         mask = pad(mask, fill=False)
         outs = []
         for s in range(0, Ppad, chunk):
             e = s + chunk
-            outs.append(run(keys[s:e], rs[s:e], ts[s:e], uv[s:e], mask[s:e]))
+            outs.append(_retri_chunk(
+                jnp.asarray(keys[s:e]), jnp.asarray(rs[s:e]),
+                jnp.asarray(ts[s:e]), jnp.asarray(uv[s:e]),
+                jnp.asarray(mask[s:e]), dt(focal),
+                sq_thresh=sq_thresh, num_hypotheses=num_hypotheses))
         X = np.asarray(jnp.concatenate([o.X for o in outs]))[:P]
         ok = np.asarray(jnp.concatenate([o.ok for o in outs]))[:P]
         self.points = np.where(ok[:, None], X, 0.0)
@@ -182,8 +204,11 @@ class SfMMap:
         reference's ConfigureSolverOptions (sfm.cpp:200-212) leaves untouched
         — with the previous 1e-9 the f32 path could never terminate early and
         every BA burned its full max_iters."""
+        import time as _time
+
         if self.num_cameras == 0 or self.num_points == 0:
             return {}
+        _t0 = _time.perf_counter()
         pv = self.point_valid()
         nobs = np.bincount(
             self.obs_pt, weights=self.obs_valid.astype(float),
@@ -212,22 +237,31 @@ class SfMMap:
             trans_fixed=jnp.asarray(self.translation_fixed),
             point_fixed=jnp.asarray(self.point_fixed | ~usable_pt),
         )
+        _t1 = _time.perf_counter()
         res = bundle_adjust(prob, max_iters=max_iters,
                             loss_scale=loss_scale,
                             solve_dtype_name=solve_dtype, ftol=ftol,
                             pcg_rtol=pcg_rtol, pcg_iters=pcg_iters)
-        self.cam_t = np.asarray(res.cam_t)
-        self.cam_r = np.asarray(res.cam_r)
-        upd = np.asarray(res.points)
+        # ONE host fetch for everything (each separate np.asarray would pay
+        # the tunnel's fixed per-fetch roundtrip).
+        cam_t, cam_r, upd, focal, cost, c0, iters = jax.device_get(
+            (res.cam_t, res.cam_r, res.points, res.focal, res.cost,
+             res.initial_cost, res.iterations)
+        )
+        _t2 = _time.perf_counter()
+        self.cam_t = np.asarray(cam_t)
+        self.cam_r = np.asarray(cam_r)
         self.points = np.where(usable_pt[:, None], upd, self.points)
         self.intrinsics = Intrinsics(
-            jnp.asarray(float(res.focal)), self.intrinsics.cx, self.intrinsics.cy
+            jnp.asarray(float(focal)), self.intrinsics.cx, self.intrinsics.cy
         )
         return {
-            "initial_cost": float(res.initial_cost),
-            "final_cost": float(res.cost),
-            "iterations": int(res.iterations),
-            "focal": float(res.focal),
+            "initial_cost": float(c0),
+            "final_cost": float(cost),
+            "iterations": int(iters),
+            "focal": float(focal),
+            "prep_s": round(_t1 - _t0, 2),
+            "solve_s": round(_t2 - _t1, 2),
         }
 
     def reprojection_errors(self) -> np.ndarray:
@@ -268,7 +302,7 @@ class SfMMap:
         Rc = _rotmat(self.cam_r)
         Rn = Rc @ R.T
         tn = self.cam_t - np.einsum("cij,j->ci", Rn, t)
-        self.cam_r = np.asarray(so3_log(jnp.asarray(Rn)))
+        self.cam_r = np_so3_log(Rn)
         self.cam_t = tn
         valid = self.point_valid()
         self.points = np.where(

@@ -354,8 +354,15 @@ def _sorted_segment_sum(x, ptr):
     off = idx - bi * B  # in [0, B]
     within = blocks[bi]  # (S+1, B, d)
     m = (jnp.arange(B)[None, :] < off[:, None]).astype(x.dtype)
-    prefix = bcum_ex[bi] + jnp.einsum("sb,sbd->sd", m, within)
-    return prefix[1:] - prefix[:-1]
+    # Keep the global block prefix and the within-block partial SEPARATE
+    # until after differencing: adding them first absorbs the small partial
+    # into the large prefix (f32), so short segments nestled deep in the
+    # table would come back as pure roundoff of the global magnitude. With
+    # the split, a segment inside one block cancels its block prefix
+    # exactly and only within-block (≤B-row) arithmetic remains.
+    Bpart = bcum_ex[bi]                                  # (S+1, d)
+    Wpart = jnp.einsum("sb,sbd->sd", m, within)          # (S+1, d)
+    return (Bpart[1:] - Bpart[:-1]) + (Wpart[1:] - Wpart[:-1])
 
 
 def _schur_solve_pcg(
@@ -390,7 +397,9 @@ def _schur_solve_pcg(
     JxJx = jnp.einsum("kdi,kdj->kij", Jx_w, Jx_w).reshape(-1, 9)
     bpk = jnp.einsum("kdi,kd->ki", Jx_w, e_w)            # (K, 3)
     fxk = jnp.einsum("kd,kdj->kj", Jf_w[..., 0], Jx_w)   # (K, 3)
-    seg_p = segsum_pt(jnp.concatenate([JxJx, bpk, fxk], axis=-1))  # (P, 15)
+    wk_live = (p.obs_w > 0).astype(dtype)[:, None]       # exact int counts
+    seg_p = segsum_pt(
+        jnp.concatenate([JxJx, bpk, fxk, wk_live], axis=-1))  # (P, 16)
     Hpp = seg_p[:, :9].reshape(Pn, 3, 3)
     b_p = seg_p[:, 9:12]
     tF_sum = seg_p[:, 12:15]                             # Σ_k Jf·Jx per point
@@ -399,7 +408,10 @@ def _schur_solve_pcg(
         lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
     )[..., None, :] * jnp.eye(3, dtype=dtype)
     Hpp_inv = inv3x3(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
-    has_obs = (p.pt_ptr[1:] - p.pt_ptr[:-1]) > 0
+    # Live-obs count, NOT pt_ptr segment width: a point whose obs all have
+    # w=0 must get Hpp_inv = 0, or its ~1/(λ·1e-12) pseudo-inverse amplifies
+    # segment-sum roundoff into the matvec. The 0/1 counts are exact in f32.
+    has_obs = seg_p[:, 15] > 0.5
     Hpp_inv = jnp.where(has_obs[:, None, None], Hpp_inv, 0.0)
 
     # --- camera-side blocks: one fused sorted segment sum ---

@@ -151,7 +151,16 @@ class SfMMap:
         if self.num_points == 0:
             return
         key = jax.random.PRNGKey(0) if key is None else key
-        track_obs, track_mask = self._track_tables()
+        # Bucket the track axis to the next power of two: the raw max track
+        # length is data-dependent, so every new capture would otherwise
+        # compile a fresh kernel shape (the TPU backend takes ~2 min to
+        # schedule the T=128 variant; the persistent cache only helps for
+        # shapes seen before).
+        nmax = int(np.bincount(self.obs_pt, minlength=1).max())
+        T = 4
+        while T < nmax:
+            T *= 2
+        track_obs, track_mask = self._track_tables(max_track=T)
         # All prep is host numpy: every eager jnp gather/pad here would pay a
         # per-op dispatch roundtrip over the axon tunnel (this alone was
         # ~1.3 s of a 16 s end-to-end run).

@@ -18,10 +18,42 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.so3 import so3_exp
+from ..ops.linalg import inv3x3
 from ..optim.lm import levenberg_marquardt
 from .engine import best_model, sample_tuples
 
 _BIG = 1e18
+
+
+def triangulate_midpoint(
+    Rs: jnp.ndarray,      # (V, 3, 3) world->camera rotations
+    ts: jnp.ndarray,      # (V, 3)
+    obs: jnp.ndarray,     # (V, 2) principal-point-centered pixels
+    focal: jnp.ndarray,   # scalar
+) -> jnp.ndarray:
+    """Closed-form least-squares ray intersection (generalized midpoint).
+
+    Minimizes Σᵥ ‖(I − dᵥdᵥᵀ)(X − Cᵥ)‖² over X, where dᵥ is the unit viewing
+    ray of view v in world coordinates and Cᵥ its camera center — a 3×3
+    normal system solved with the adjugate inverse. Pure elementwise
+    arithmetic: unlike the DLT (4×4 eigendecomposition per hypothesis) this
+    costs nothing on TPU, so it is the minimal-sample hypothesis generator
+    inside the RANSAC loop; the DLT refit + LM polish still produce the
+    final estimate. Near-parallel rays yield a near-singular system whose
+    garbage candidate is rejected by MSAC scoring (the engine's fixed-shape
+    degeneracy policy).
+    """
+    d_cam = jnp.concatenate(
+        [obs / focal, jnp.ones(obs.shape[:-1] + (1,), obs.dtype)], axis=-1
+    )
+    d = jnp.einsum("...ji,...j->...i", Rs, d_cam)          # Rᵀ · ray
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    C = -jnp.einsum("...ji,...j->...i", Rs, ts)            # camera centers
+    eye = jnp.eye(3, dtype=obs.dtype)
+    Pm = eye - d[..., :, None] * d[..., None, :]           # (V, 3, 3)
+    A = jnp.sum(Pm, axis=-3) + 1e-9 * eye
+    b = jnp.sum(jnp.einsum("...ij,...j->...i", Pm, C), axis=-2)
+    return jnp.einsum("ij,j->i", inv3x3(A), b)
 
 
 def triangulate_dlt(
@@ -91,8 +123,7 @@ def triangulation_ransac(
     pairs = sample_tuples(key, mask, num_hypotheses, 2)  # (M, 2)
 
     def solve_pair(pair):
-        w = jnp.zeros_like(mask, dtype=rs.dtype).at[pair].set(1.0)
-        return triangulate_dlt(Rs, ts, obs, focal, w)
+        return triangulate_midpoint(Rs[pair], ts[pair], obs[pair], focal)
 
     Xs = jax.vmap(solve_pair)(pairs)  # (M, 3)
     errs = jax.vmap(lambda X: reprojection_sq_error(X, Rs, ts, obs, focal))(Xs)

@@ -126,6 +126,30 @@ def test_triangulation_ransac():
     assert int(res.num_inliers) == 4  # 6 valid − 2 corrupted
 
 
+def test_triangulate_midpoint_exact():
+    """Noise-free rays from any number of views intersect exactly at the
+    point — the closed-form hypothesis generator must recover it to f32
+    precision (it feeds every RANSAC hypothesis, so a bias here would shift
+    the whole consensus set)."""
+    from sphericalsfm_tpu.ransac.triangulation import triangulate_midpoint
+
+    rng = np.random.default_rng(3)
+    X_gt = np.array([1.2, -0.4, 6.5])
+    for V in (2, 3, 8):
+        rs, ts, obs = [], [], []
+        for _ in range(V):
+            r = rng.normal(size=3) * 0.2
+            t = np.array([0.0, 0.0, -1.0]) + rng.normal(size=3) * 0.1
+            R = np.asarray(so3_exp(jnp.asarray(r)))
+            PX = R @ X_gt + t
+            rs.append(R); ts.append(t); obs.append(FOCAL * PX[:2] / PX[2])
+        X = triangulate_midpoint(
+            jnp.asarray(np.stack(rs)), jnp.asarray(np.stack(ts)),
+            jnp.asarray(np.stack(obs)), jnp.asarray(FOCAL),
+        )
+        np.testing.assert_allclose(np.asarray(X), X_gt, atol=1e-4)
+
+
 def test_triangulation_ransac_too_few():
     rs = jnp.zeros((4, 3)); ts = jnp.zeros((4, 3)).at[:, 2].set(-1.0)
     obs = jnp.zeros((4, 2))

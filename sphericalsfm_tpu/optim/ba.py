@@ -343,6 +343,17 @@ def _sorted_segment_sum(x, ptr):
     K, d = x.shape
     B = 128
     nb = max(1, -(-K // B))
+    # Mean-center before the prefix sums: a segment sum recovered as a
+    # difference of GLOBAL prefixes carries absolute error ~eps·(K·μ) — for
+    # same-sign columns (Hessian diagonals) that is ~(K/seg_len)× the
+    # segment's own magnitude, enough to make assembled camera blocks
+    # indefinite at small LM damping (observed: NaN preconditioner Cholesky
+    # → silent zero PCG steps at C=256). Centered rows random-walk at
+    # ~eps·√K·σ instead, and the mean part is restored exactly as
+    # seg_len·μ (seg_len is an exact integer, so this add-back is
+    # eps-relative to the segment itself).
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    x = x - mu
     xp = jnp.zeros((nb * B, d), x.dtype).at[:K].set(x)
     blocks = xp.reshape(nb, B, d)
     bsums = jnp.sum(blocks, axis=1)
@@ -362,7 +373,8 @@ def _sorted_segment_sum(x, ptr):
     # exactly and only within-block (≤B-row) arithmetic remains.
     Bpart = bcum_ex[bi]                                  # (S+1, d)
     Wpart = jnp.einsum("sb,sbd->sd", m, within)          # (S+1, d)
-    return (Bpart[1:] - Bpart[:-1]) + (Wpart[1:] - Wpart[:-1])
+    seg_len = (ptr[1:] - ptr[:-1]).astype(x.dtype)[:, None]
+    return (Bpart[1:] - Bpart[:-1]) + (Wpart[1:] - Wpart[:-1]) + seg_len * mu
 
 
 def _schur_solve_pcg(
@@ -429,12 +441,27 @@ def _schur_solve_pcg(
     seg = _sorted_segment_sum(
         jnp.concatenate([Hk, bk, fk, Mk, gk, fck], axis=-1), p.cam_ptr
     )  # (C, 96)
-    Hcc = seg[:, :36].reshape(C, 6, 6)
-    b_c = seg[:, 36:42]
-    Hfc = seg[:, 42:48]
-    Mcc = seg[:, 48:84].reshape(C, 6, 6)
-    rc_red = seg[:, 84:90]
-    Sfc_red = seg[:, 90:96]
+    # Frozen parameter dims must be EXACT zeros, not segment sums of zero
+    # rows: the sum carries absolute roundoff at the global-table magnitude
+    # (~eps·√K·σ), which lands in rows whose true value is 0 — the gauge
+    # camera's all-frozen block came back indefinite at ±σ-level noise, its
+    # block-Jacobi Cholesky went NaN, and PCG silently returned a zero step.
+    # The masks are known statics of the problem; apply them everywhere the
+    # camera system is touched (blocks, rhs, matvec, preconditioner).
+    free_c = jnp.concatenate(
+        [
+            jnp.repeat((~p.trans_fixed).astype(dtype)[:, None], 3, -1),
+            jnp.repeat((~p.rot_fixed).astype(dtype)[:, None], 3, -1),
+        ],
+        axis=-1,
+    )  # (C, 6)
+    pair_c = free_c[:, :, None] * free_c[:, None, :]
+    Hcc = seg[:, :36].reshape(C, 6, 6) * pair_c
+    b_c = seg[:, 36:42] * free_c
+    Hfc = seg[:, 42:48] * free_c
+    Mcc = seg[:, 48:84].reshape(C, 6, 6) * pair_c
+    rc_red = seg[:, 84:90] * free_c
+    Sfc_red = seg[:, 90:96] * free_c
     Hff = jnp.sum(Jf_w * Jf_w)
     b_f = jnp.sum(Jf_w[..., 0] * e_w)
 
@@ -534,14 +561,24 @@ def _schur_solve_pcg(
         Sg_full = Sg_full.at[6 * G, 6 * G].set(S_ff)
         gscale = jnp.sqrt(jnp.maximum(jnp.diagonal(Sg_full), 1e-12))
         Sg_eq = Sg_full / gscale[:, None] / gscale[None, :]
+        # 1e-4 ridge on the unit-equilibrated diagonal: the Galerkin coarse
+        # system is SPD in exact arithmetic but only barely at small λ, and
+        # f32 rounding (eps ≈ 1.2e-7) tips it indefinite. A failed factor
+        # must NOT poison the preconditioner — a NaN Lg made every precond
+        # output NaN, the PCG loop's isfinite guard then never ran a single
+        # iteration, and the silent zero step stalled LM at small λ (2× worse
+        # final cost than the dense solver at C=256).
         Lg = jnp.linalg.cholesky(
-            Sg_eq + 1e-6 * jnp.eye(Dg, dtype=solve_dtype)
+            Sg_eq + 1e-4 * jnp.eye(Dg, dtype=solve_dtype)
         )
+        coarse_ok = jnp.all(jnp.isfinite(Lg))
+        Lg = jnp.where(coarse_ok, Lg, jnp.eye(Dg, dtype=solve_dtype))
 
     U_s = U.astype(solve_dtype)
     Hpi_s = Hpp_inv.astype(solve_dtype)
     Hcc_ds = Hcc_d.astype(solve_dtype)
     tF_s = tF_sum.astype(solve_dtype)
+    free_cs = free_c.astype(solve_dtype)
     obs_pt = p.obs_pt
     obs_cam = p.obs_cam
 
@@ -558,7 +595,11 @@ def _schur_solve_pcg(
         # camera side: (W z)[c] via camera-major segment sum
         wk = jnp.einsum("kij,kj->ki", U_s, z[obs_pt])
         Wz = _sorted_segment_sum(wk, p.cam_ptr)
-        out_c = jnp.einsum("cij,cj->ci", Hcc_ds, vc) - Wz + Hfc_s * vf
+        # free_cs mask: Wz's segment-sum roundoff must not re-inject
+        # components into frozen dims (see the assembly masking above).
+        out_c = (
+            jnp.einsum("cij,cj->ci", Hcc_ds, vc) - Wz + Hfc_s * vf
+        ) * free_cs
         out_f = jnp.sum(Hfc_s * vc) + Hff_d * vf - jnp.sum(tF_s * z)
         return out_c, out_f
 
@@ -577,9 +618,10 @@ def _schur_solve_pcg(
             xg = jax.scipy.linalg.solve_triangular(
                 Lg.T, yg, lower=False
             ) / gscale
+            xg = jnp.where(coarse_ok, xg, 0.0)  # drop level, keep Jacobi
             zc = zc + jnp.repeat(xg[: 6 * G].reshape(G, 6), g, axis=0)[:C]
             zf = zf + xg[6 * G]
-        return zc, zf
+        return zc * free_cs, zf
 
     b_cs = -r_c
     b_fs = -r_f
@@ -628,10 +670,20 @@ def _schur_solve_pcg(
     Wt_dx = segsum_pt(wk)
     Ft_dx = tF_sum * d_f
     d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
-    md = _model_decrease(
-        lam, d_f, d_cam, d_pts, b_f, b_c, b_p, Hff, diagC,
-        jnp.diagonal(Hpp, axis1=-2, axis2=-1),
-    )
+    # Exact model decrease −gᵀd − ½‖Jd‖² (Ceres model_cost_change,
+    # trust_region_minimizer.cc). The dense path's closed form
+    # −½gᵀd + ½λdᵀDd is equivalent ONLY at the exact solution of
+    # (H+λD)d = −g; scoring PCG's inexact step with it corrupts ρ — the
+    # trust region rejects productive steps and the λ back-off bails out
+    # (observed: 2× worse final cost than the dense solver at C=256). One
+    # extra per-obs J·d pass makes ρ honest for any step.
+    Jd = (
+        Jf_w[..., 0] * d_f
+        + jnp.einsum("kdi,ki->kd", Jc_w, d_cam[p.obs_cam])
+        + jnp.einsum("kdi,ki->kd", Jx_w, d_pts[p.obs_pt])
+    )  # (K, 2)
+    gTd = b_f * d_f + jnp.sum(b_c * d_cam) + jnp.sum(b_p * d_pts)
+    md = -gTd - 0.5 * jnp.sum(Jd * Jd)
     return d_f, d_cam, d_pts, md
 
 
@@ -791,6 +843,25 @@ def _bundle_adjust_jit(
     solve_dtype = jnp.dtype(solve_dtype_name)
     dtype = p.points.dtype
 
+    # TPU MXU default precision rounds f32 matmul INPUTS to bf16 — a ~1e-2
+    # relative error in every Hessian contraction and PCG matvec. Harmless
+    # early on, but near convergence the true step shrinks below the bf16
+    # noise floor and LM stalls far above the real optimum (measured: 2.5×
+    # worse final cost on the 256-camera ring vs the identical f32 run on
+    # CPU). These contractions are small; HIGHEST costs little here. The
+    # context applies at trace time, so it covers the while_loop body too.
+    with jax.default_matmul_precision("highest"):
+        return _ba_lm_loop(
+            p, max_iters, loss_scale, init_lambda, init_dec, ftol,
+            solve_dtype, dtype, camera_solver, pcg_iters, pcg_rtol,
+            pcg_coarse,
+        )
+
+
+def _ba_lm_loop(
+    p, max_iters, loss_scale, init_lambda, init_dec, ftol,
+    solve_dtype, dtype, camera_solver, pcg_iters, pcg_rtol, pcg_coarse,
+) -> BAResult:
     def cost_of(state):
         f, ct, cr, pts = state
         return ba_cost(f, ct, cr, pts, p, loss_scale)

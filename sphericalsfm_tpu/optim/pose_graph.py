@@ -140,6 +140,26 @@ def _robust_block_lm(
     if solver == "auto":
         solver = "pcg" if N > 400 else "dense"
 
+    # TPU MXU default precision rounds f32 matmul inputs to bf16; the
+    # normal-equation contractions here need true f32 or LM stalls above the
+    # real optimum near convergence (see _bundle_adjust_jit).
+    with jax.default_matmul_precision("highest"):
+        return _robust_block_lm_body(
+            residual_edge, rotations_r, extra0, edge_i, edge_j, edge_data,
+            edge_w, fixed_mask, extra_bounds, max_iters, ftol, solver,
+            pcg_iters, pcg_rtol,
+        )
+
+
+def _robust_block_lm_body(
+    residual_edge, rotations_r, extra0, edge_i, edge_j, edge_data, edge_w,
+    fixed_mask, extra_bounds, max_iters, ftol, solver, pcg_iters, pcg_rtol,
+):
+    N = rotations_r.shape[0]
+    dtype = rotations_r.dtype
+    has_extra = extra0 is not None
+    D = 3 * N + (1 if has_extra else 0)
+
     def edge_res(r0, r1, extra, data):
         return residual_edge(r0, r1, extra, data)
 
@@ -215,9 +235,14 @@ def _robust_block_lm(
         seg = seg_i(jnp.concatenate(
             [A0.reshape(E, 9), g0, f0], axis=-1
         )) + seg_j(jnp.concatenate([A1.reshape(E, 9), g1, f1], axis=-1))
-        Hnn = seg[:, :9].reshape(N, 3, 3)
-        gnode = seg[:, 9:12]
-        fnode = seg[:, 12:15]
+        # Gauge-frozen nodes must be EXACT zeros: their rows are zeroed at
+        # the edge level, but the segment sum reconstructs them with
+        # absolute roundoff at the global edge-table magnitude — enough to
+        # make the frozen node's Jacobi block indefinite (NaN Cholesky →
+        # silent zero CG steps; same failure mode as the BA camera solve).
+        Hnn = seg[:, :9].reshape(N, 3, 3) * free[:, None, None]
+        gnode = seg[:, 9:12] * free[:, None]
+        fnode = seg[:, 12:15] * free[:, None]
         dvec = jnp.maximum(jnp.diagonal(Hnn, axis1=-2, axis2=-1), 1e-12)
         Hff_d = Hff * (1.0 + lam) + 1e-12
 
@@ -234,7 +259,7 @@ def _robust_block_lm(
                 + jnp.einsum("eij,ej->ei", A1, xj)
                 + f1 * xf
             )
-            out = seg_i(y0) + seg_j(y1) + lam * dvec * x
+            out = (seg_i(y0) + seg_j(y1)) * free[:, None] + lam * dvec * x
             out_f = (
                 jnp.sum(f0 * xi) + jnp.sum(f1 * xj) + Hff_d * xf
             )
@@ -256,7 +281,7 @@ def _robust_block_lm(
             z = jax.scipy.linalg.solve_triangular(
                 jnp.swapaxes(Lp, -1, -2), y, lower=False
             )[..., 0]
-            return z, rf / Pf
+            return z * free[:, None], rf / Pf
 
         b = -gnode
         bf = -gf

@@ -68,11 +68,12 @@ class BAConfig:
     loss_scale: float = 1.0            # Cauchy
     solve_dtype: str = "float64"       # "float32" on TPU
     filter_threshold_px: float = 8.0
-    # Inexact-Newton forcing for the PCG camera solve (>160 cameras): LM
-    # steps don't need the 1e-8 library-default solve accuracy, and the
-    # inner-iteration cap bounds per-step latency.
-    pcg_rtol: float = 1e-4
-    pcg_iters: int = 100
+    # Inexact-Newton forcing for the PCG camera solve (>512 cameras; below
+    # that the dense Schur Cholesky is faster — scripts/bench_ba_forcing.py):
+    # LM steps don't need a tight inner solve, and the 25-iteration cap
+    # bounds per-step latency at the same reached cost as looser caps.
+    pcg_rtol: float = 1e-2
+    pcg_iters: int = 25
 
 
 @dataclass

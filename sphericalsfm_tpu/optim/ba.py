@@ -65,6 +65,13 @@ class BAProblem(NamedTuple):
     # point to the LONGEST track — ruinous when track lengths are skewed).
     pt_order: jnp.ndarray | None = None  # (K,) int32: sorts obs by point
     pt_ptr: jnp.ndarray | None = None    # (P+1,) int32 segment bounds
+    # Per-point observation-pair tables for the O(ΣT²) dense Schur assembly
+    # (`build_cc_pairs`): ordered pairs (a, b) of same-point observations,
+    # sorted by the (cam_a·C + cam_b) block key, with `cc_ptr` the C²+1
+    # segment bounds into that sorted pair list.
+    cc_pair_a: jnp.ndarray | None = None  # (Npairs,) int32 obs index
+    cc_pair_b: jnp.ndarray | None = None  # (Npairs,) int32 obs index
+    cc_ptr: jnp.ndarray | None = None     # (C²+1,) int32
 
 
 class BAResult(NamedTuple):
@@ -228,7 +235,11 @@ def _schur_solve(
     tF_sum = jnp.sum(tF_slot, axis=1)                          # (P, 3)
     tF_inv = jnp.einsum("pi,pij->pj", tF_sum, Hpp_inv)         # (P, 3)
 
-    chunk = max(1, min(P, 4096))
+    # Chunk size bounded by the (chunk, T, C) one-hot's footprint — a video
+    # map can pair T≈256-long tracks with hundreds of cameras, and a fixed
+    # 4096-point chunk would materialize gigabytes. ~64M f32 (256 MB) per
+    # scan step keeps the MXU fed without the blowup.
+    chunk = max(128, min(P, (64 << 20) // max(Tmax * C, 1), 4096))
     n_chunks = -(-P // chunk)
     Ppad = n_chunks * chunk
 
@@ -363,8 +374,13 @@ def _sorted_segment_sum(x, ptr):
     idx = jnp.clip(ptr, 0, nb * B)
     bi = jnp.minimum(idx // B, nb - 1)
     off = idx - bi * B  # in [0, B]
-    within = blocks[bi]  # (S+1, B, d)
-    m = (jnp.arange(B)[None, :] < off[:, None]).astype(x.dtype)
+    # Within-block partial at each boundary via ONE row gather from the
+    # within-block inclusive prefix sums — NOT a (S+1, B, d) block gather,
+    # which explodes when S ≫ nb (the pairs-dense assembly reduces over C²
+    # segments).
+    pcum = jnp.cumsum(blocks, axis=1).reshape(nb * B, d)
+    row = bi * B + jnp.maximum(off - 1, 0)
+    Wpart = pcum[row] * (off > 0).astype(x.dtype)[:, None]  # (S+1, d)
     # Keep the global block prefix and the within-block partial SEPARATE
     # until after differencing: adding them first absorbs the small partial
     # into the large prefix (f32), so short segments nestled deep in the
@@ -372,30 +388,43 @@ def _sorted_segment_sum(x, ptr):
     # the split, a segment inside one block cancels its block prefix
     # exactly and only within-block (≤B-row) arithmetic remains.
     Bpart = bcum_ex[bi]                                  # (S+1, d)
-    Wpart = jnp.einsum("sb,sbd->sd", m, within)          # (S+1, d)
     seg_len = (ptr[1:] - ptr[:-1]).astype(x.dtype)[:, None]
     return (Bpart[1:] - Bpart[:-1]) + (Wpart[1:] - Wpart[:-1]) + seg_len * mu
 
 
-def _schur_solve_pcg(
-    e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype,
-    pcg_iters, pcg_rtol, coarse_group=16,
-):
-    """Matrix-free Schur step: block-Jacobi preconditioned CG camera solve.
+class _ReducedSystem(NamedTuple):
+    """O(K)-assembled Schur pieces shared by the PCG and pairs-dense camera
+    solvers (everything except the off-diagonal S_cc fill)."""
 
-    Never materializes the (C, C, 6, 6) reduced system — the TPU-native
-    answer to Ceres SPARSE_SCHUR (sfm.cpp:200-212) at the reference's
-    every-frame-is-a-keyframe scale (thousands of cameras). Requires
-    `p.cam_ptr`/`p.pt_ptr` (the observation table sorted by camera, plus the
-    point-major permutation of it): every reduction — camera side AND point
-    side — is an O(K) sorted segment sum, so the cost per CG iteration is
-    O(K·18) with no C² term and no dependence on the LONGEST track (the
-    track table pads every point to max track length, which is ruinous on
-    real video maps where a few tracks span hundreds of frames while the
-    mean is ~3). The track table is used only to build the coarse-grid
-    preconditioner, with track length capped (truncation only weakens the
-    preconditioner — the subtracted Galerkin term shrinks, so it stays SPD).
-    """
+    e_w: jnp.ndarray
+    Jf_w: jnp.ndarray
+    Jc_w: jnp.ndarray
+    Jx_w: jnp.ndarray
+    U: jnp.ndarray          # (K, 6, 3) camera-point coupling per obs
+    Hpp: jnp.ndarray        # (P, 3, 3)
+    Hpp_inv: jnp.ndarray    # (P, 3, 3) damped inverse (0 for dead points)
+    b_p: jnp.ndarray        # (P, 3)
+    tF_sum: jnp.ndarray     # (P, 3) Σ_k Jf·Jx per point
+    FHpi: jnp.ndarray       # (P, 3) tF_sum · Hpp⁻¹
+    free_c: jnp.ndarray     # (C, 6) 1.0 on free camera dims
+    Hcc_d: jnp.ndarray      # (C, 6, 6) damped camera blocks
+    Mcc: jnp.ndarray        # (C, 6, 6) diagonal Schur correction
+    Hfc: jnp.ndarray        # (C, 6)
+    Sfc_red: jnp.ndarray    # (C, 6)
+    b_c: jnp.ndarray        # (C, 6)
+    rc_red: jnp.ndarray     # (C, 6)
+    Hff: jnp.ndarray        # scalar
+    b_f: jnp.ndarray        # scalar
+    diagC: jnp.ndarray      # (C, 6)
+    S_ff: jnp.ndarray       # scalar (solve_dtype)
+    r_c: jnp.ndarray        # (C, 6) reduced rhs (solve_dtype)
+    r_f: jnp.ndarray        # scalar (solve_dtype)
+
+
+def _assemble_reduced(e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale,
+                      solve_dtype) -> _ReducedSystem:
+    """Scatter-free O(K) assembly of every Schur piece except the
+    off-diagonal camera-camera fill. Requires `p.cam_ptr`/`p.pt_ptr`."""
     C = p.cam_t.shape[0]
     Pn = p.points.shape[0]
     dtype = e.dtype
@@ -470,11 +499,132 @@ def _schur_solve_pcg(
         6, dtype=dtype
     )
     y0 = jnp.einsum("pij,pj->pi", Hpp_inv, b_p)
+    S_ff = (Hff * (1.0 + lam) + 1e-12 - jnp.sum(FHpi * tF_sum)).astype(solve_dtype)
+    r_c = ((b_c - rc_red) * free_c).astype(solve_dtype)
+    r_f = (b_f - jnp.sum(tF_sum * y0)).astype(solve_dtype)
+
+    return _ReducedSystem(
+        e_w=e_w, Jf_w=Jf_w, Jc_w=Jc_w, Jx_w=Jx_w, U=U, Hpp=Hpp,
+        Hpp_inv=Hpp_inv, b_p=b_p, tF_sum=tF_sum, FHpi=FHpi, free_c=free_c,
+        Hcc_d=Hcc_d, Mcc=Mcc, Hfc=Hfc, Sfc_red=Sfc_red, b_c=b_c,
+        rc_red=rc_red, Hff=Hff, b_f=b_f, diagC=diagC, S_ff=S_ff,
+        r_c=r_c, r_f=r_f,
+    )
+
+
+def _backsub_and_md(rs: _ReducedSystem, p: BAProblem, d_cam, d_f):
+    """Point back-substitution (O(K) point-major) + exact model decrease
+    −gᵀd − ½‖Jd‖² (Ceres model_cost_change, trust_region_minimizer.cc) —
+    valid for ANY camera step, exact or inexact."""
+    wk = jnp.einsum("kij,ki->kj", rs.U, d_cam[p.obs_cam])
+    Wt_dx = _sorted_segment_sum(wk[p.pt_order], p.pt_ptr)
+    Ft_dx = rs.tF_sum * d_f
+    d_pts = jnp.einsum("pij,pj->pi", rs.Hpp_inv, -rs.b_p - Wt_dx - Ft_dx)
+    Jd = (
+        rs.Jf_w[..., 0] * d_f
+        + jnp.einsum("kdi,ki->kd", rs.Jc_w, d_cam[p.obs_cam])
+        + jnp.einsum("kdi,ki->kd", rs.Jx_w, d_pts[p.obs_pt])
+    )  # (K, 2)
+    gTd = (rs.b_f * d_f + jnp.sum(rs.b_c * d_cam)
+           + jnp.sum(rs.b_p * d_pts))
+    md = -gTd - 0.5 * jnp.sum(Jd * Jd)
+    return d_pts, md
+
+
+def _schur_solve_dense_pairs(
+    e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype
+):
+    """Exact dense Schur camera solve with O(K + ΣT²) assembly.
+
+    The off-diagonal blocks of S = Hcc − W Hpp⁻¹ Wᵀ are filled from the
+    per-point observation-PAIR table (`cc_pair_a/b`, `cc_ptr` — built by
+    `build_cc_pairs`): each pair (a, b) of observations of the same point
+    contributes −U_a Hpp⁻¹ U_bᵀ to block (cam_a, cam_b), reduced by one
+    sorted segment sum over the C² block keys. Unlike the track-table
+    one-hot scan this costs nothing extra for long tracks paired with many
+    cameras (the scan's (chunk, T, C) one-hot made dense assembly ~15×
+    slower than the Cholesky itself on 256-camera video maps), so the
+    exact solver stays the fastest choice through ~512 cameras
+    (scripts/bench_ba_forcing.py). Same role as Ceres DENSE_SCHUR
+    (sfm.cpp:200-212).
+    """
+    C = p.cam_t.shape[0]
+    dtype = e.dtype
+    rs = _assemble_reduced(e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype)
+
+    # --- off-diagonal fill from observation pairs ---
+    Ua = rs.U[p.cc_pair_a]                                # (Np, 6, 3)
+    Ub = rs.U[p.cc_pair_b]
+    Hpi_ab = rs.Hpp_inv[p.obs_pt[p.cc_pair_a]]            # (Np, 3, 3)
+    Mab = jnp.einsum(
+        "nix,nxy,njy->nij", Ua, Hpi_ab, Ub
+    ).reshape(-1, 36)
+    off = _sorted_segment_sum(Mab, p.cc_ptr).reshape(C, C, 6, 6)
+    # frozen dims: exact zeros (same masking rationale as the diagonal)
+    off = off * (rs.free_c[:, None, :, None] * rs.free_c[None, :, None, :])
+    S_cc = -(off + jnp.transpose(off, (1, 0, 3, 2)))
+    S_cc = S_cc.at[jnp.arange(C), jnp.arange(C)].add(rs.Hcc_d - rs.Mcc)
+    S_fc = rs.Hfc - rs.Sfc_red
+
+    d_cam, d_f = _dense_schur_factor_solve(
+        S_cc, S_fc, rs.S_ff, rs.r_c, rs.r_f, solve_dtype, dtype, C
+    )
+    d_pts, md = _backsub_and_md(rs, p, d_cam, d_f)
+    return d_f, d_cam, d_pts, md
+
+
+def _dense_schur_factor_solve(S_cc, S_fc, S_ff, r_c, r_f, solve_dtype,
+                              dtype, C):
+    """Equilibrated Cholesky solve of the assembled (6C+1)² reduced system."""
+    D = 6 * C + 1
+    S = jnp.zeros((D, D), solve_dtype)
+    S = S.at[: 6 * C, : 6 * C].set(
+        S_cc.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C).astype(solve_dtype)
+    )
+    S = S.at[6 * C, : 6 * C].set(S_fc.reshape(-1).astype(solve_dtype))
+    S = S.at[: 6 * C, 6 * C].set(S_fc.reshape(-1).astype(solve_dtype))
+    S = S.at[6 * C, 6 * C].set(jnp.asarray(S_ff, solve_dtype))
+    rhs = jnp.concatenate(
+        [r_c.reshape(-1), jnp.asarray(r_f, solve_dtype)[None]]
+    )
+    dscale = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    S_eq = S / dscale[:, None] / dscale[None, :]
+    S_eq = S_eq + 1e-10 * jnp.eye(D, dtype=solve_dtype)
+    L = jnp.linalg.cholesky(S_eq)
+    y = jax.scipy.linalg.solve_triangular(L, -(rhs / dscale), lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    dx = (dx / dscale).astype(dtype)
+    return dx[: 6 * C].reshape(C, 6), dx[6 * C]
+
+
+def _schur_solve_pcg(
+    e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype,
+    pcg_iters, pcg_rtol, coarse_group=16,
+):
+    """Matrix-free Schur step: block-Jacobi preconditioned CG camera solve.
+
+    Never materializes the (C, C, 6, 6) reduced system — the TPU-native
+    answer to Ceres SPARSE_SCHUR (sfm.cpp:200-212) at the reference's
+    every-frame-is-a-keyframe scale (thousands of cameras). Requires
+    `p.cam_ptr`/`p.pt_ptr` (the observation table sorted by camera, plus the
+    point-major permutation of it): every reduction — camera side AND point
+    side — is an O(K) sorted segment sum, so the cost per CG iteration is
+    O(K·18) with no C² term and no dependence on the LONGEST track (the
+    track table pads every point to max track length, which is ruinous on
+    real video maps where a few tracks span hundreds of frames while the
+    mean is ~3). The track table is used only to build the coarse-grid
+    preconditioner, with track length capped (truncation only weakens the
+    preconditioner — the subtracted Galerkin term shrinks, so it stays SPD).
+    """
+    C = p.cam_t.shape[0]
+    dtype = e.dtype
+    rs = _assemble_reduced(e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype)
+    U, Hpp_inv, tF_sum, FHpi = rs.U, rs.Hpp_inv, rs.tF_sum, rs.FHpi
+    b_p, free_c = rs.b_p, rs.free_c
+    Hcc_d, Mcc, Hfc = rs.Hcc_d, rs.Mcc, rs.Hfc
+    Hff, S_ff, r_c, r_f = rs.Hff, rs.S_ff, rs.r_c, rs.r_f
     Hff_d = (Hff * (1.0 + lam) + 1e-12).astype(solve_dtype)
     Hfc_s = Hfc.astype(solve_dtype)                       # (C, 6)
-    S_ff = (Hff * (1.0 + lam) + 1e-12 - jnp.sum(FHpi * tF_sum)).astype(solve_dtype)
-    r_c = (b_c - rc_red).astype(solve_dtype)
-    r_f = (b_f - jnp.sum(tF_sum * y0)).astype(solve_dtype)
 
     # --- block-Jacobi preconditioner from the exact Schur diagonal blocks
     # (each (camera, point) pair observed once ⇒ Σ_k U_k Hpp⁻¹ U_kᵀ is the
@@ -545,7 +695,7 @@ def _schur_solve_pcg(
         )
         Hg = padC(Hcc_d).reshape(G, g, 6, 6).sum(1)         # Rᵀ Hcc_d R
         Sg = -Sg_red.at[jnp.arange(G), jnp.arange(G)].add(-Hg)
-        Sfc_g = padC(Hfc - Sfc_red).reshape(G, g, 6).sum(1)  # (G, 6)
+        Sfc_g = padC(Hfc - rs.Sfc_red).reshape(G, g, 6).sum(1)  # (G, 6)
 
         Dg = 6 * G + 1
         Sg_full = jnp.zeros((Dg, Dg), solve_dtype)
@@ -664,26 +814,7 @@ def _schur_solve_pcg(
     xc, xf, *_ = jax.lax.while_loop(pcg_cond, pcg_body, state0)
     d_cam = xc.astype(dtype)
     d_f = xf.astype(dtype)
-
-    # --- back-substitute points: per-obs + point-major segment sum ---
-    wk = jnp.einsum("kij,ki->kj", U, d_cam[p.obs_cam])
-    Wt_dx = segsum_pt(wk)
-    Ft_dx = tF_sum * d_f
-    d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
-    # Exact model decrease −gᵀd − ½‖Jd‖² (Ceres model_cost_change,
-    # trust_region_minimizer.cc). The dense path's closed form
-    # −½gᵀd + ½λdᵀDd is equivalent ONLY at the exact solution of
-    # (H+λD)d = −g; scoring PCG's inexact step with it corrupts ρ — the
-    # trust region rejects productive steps and the λ back-off bails out
-    # (observed: 2× worse final cost than the dense solver at C=256). One
-    # extra per-obs J·d pass makes ρ honest for any step.
-    Jd = (
-        Jf_w[..., 0] * d_f
-        + jnp.einsum("kdi,ki->kd", Jc_w, d_cam[p.obs_cam])
-        + jnp.einsum("kdi,ki->kd", Jx_w, d_pts[p.obs_pt])
-    )  # (K, 2)
-    gTd = b_f * d_f + jnp.sum(b_c * d_cam) + jnp.sum(b_p * d_pts)
-    md = -gTd - 0.5 * jnp.sum(Jd * Jd)
+    d_pts, md = _backsub_and_md(rs, p, d_cam, d_f)
     return d_f, d_cam, d_pts, md
 
 
@@ -720,6 +851,60 @@ def sort_obs_by_camera(p: BAProblem) -> BAProblem:
     )
 
 
+def count_cc_pairs(p: BAProblem) -> int:
+    """Host-side: ΣT(T−1)/2 over points — the pair-table size the pairs-dense
+    assembly would need (cheap solver-choice probe, no tables built)."""
+    import numpy as np
+
+    L = np.diff(np.asarray(p.pt_ptr)).astype(np.int64)
+    return int((L * (L - 1) // 2).sum())
+
+
+def build_cc_pairs(p: BAProblem) -> BAProblem:
+    """Host-side: per-point observation-pair tables for the pairs-dense
+    Schur assembly (`_schur_solve_dense_pairs`). Requires
+    `sort_obs_by_camera` first.
+
+    Within a point's point-major run the observations are camera-ascending
+    (stable sort over the camera-sorted table), so ordered pairs (a < b)
+    land strictly in the upper triangle of the (C, C) block grid — the
+    lower triangle is filled by transposition on device. The pair count is
+    padded to the next power of two (padding pairs sit past the last
+    `cc_ptr` bound, so they are never summed) to bound shape churn.
+    """
+    import numpy as np
+
+    C = p.cam_t.shape[0]
+    pt_ptr = np.asarray(p.pt_ptr).astype(np.int64)
+    pt_order = np.asarray(p.pt_order).astype(np.int64)
+    obs_cam = np.asarray(p.obs_cam).astype(np.int64)
+    L = np.diff(pt_ptr)
+    K = len(pt_order)
+    starts = pt_ptr[:-1]
+    grp = np.repeat(np.arange(len(L)), L)               # point of each slot
+    pos = np.arange(K) - np.repeat(starts, L)           # index within run
+    cnt = L[grp] - 1 - pos                              # pairs led by slot
+    total = int(cnt.sum())
+    a_slot = np.repeat(np.arange(K), cnt)
+    off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    b_slot = a_slot + 1 + off
+    pair_a = pt_order[a_slot]
+    pair_b = pt_order[b_slot]
+    key = obs_cam[pair_a] * C + obs_cam[pair_b]
+    order = np.argsort(key, kind="stable")
+    pair_a, pair_b, key = pair_a[order], pair_b[order], key[order]
+    cc_ptr = np.zeros(C * C + 1, np.int64)
+    cc_ptr[1:] = np.cumsum(np.bincount(key, minlength=C * C))
+    npad = 1 << max(int(np.ceil(np.log2(max(total, 1)))), 6)
+    pair_a = np.pad(pair_a, (0, npad - total))
+    pair_b = np.pad(pair_b, (0, npad - total))
+    return p._replace(
+        cc_pair_a=jnp.asarray(pair_a.astype(np.int32)),
+        cc_pair_b=jnp.asarray(pair_b.astype(np.int32)),
+        cc_ptr=jnp.asarray(cc_ptr.astype(np.int32)),
+    )
+
+
 def bundle_adjust(
     p: BAProblem,
     max_iters: int = 50,
@@ -731,22 +916,45 @@ def bundle_adjust(
     camera_solver: str = "auto",
     pcg_iters: int = 200,
     pcg_rtol: float = 1e-8,
-    pcg_coarse: int = 16,
+    pcg_coarse: int = 0,
 ) -> BAResult:
     """Robust LM bundle adjustment; returns the optimized state.
 
     Semantics match SfM::Optimize (sfm.cpp:228-290): Cauchy(1.0) loss,
     frozen-parameter masks, trust-region LM. `camera_solver` picks the Schur
     camera solve: "dense" (exact (6C+1)² Cholesky), "pcg" (matrix-free
-    two-level-preconditioned CG — scales past the dense wall, the Ceres
-    SPARSE_SCHUR analogue), or "auto" (pcg above 160 cameras). `pcg_coarse`
-    is the coarse-grid aggregation size (0 disables the coarse level).
+    block-Jacobi CG — scales past the dense wall, the Ceres SPARSE_SCHUR
+    analogue), or "auto" (pcg above 512 cameras). `pcg_coarse` > 0 adds an
+    aggregated coarse-grid level to the preconditioner (off by default:
+    with the 25-iteration inexact-Newton cap the Galerkin setup cost per LM
+    iteration outweighs the CG iterations it saves — 2000-cam ring: 1.77
+    iters/s coarse-off vs 1.62 coarse-on at equal-or-better reached cost).
     """
     C = p.cam_t.shape[0]
     if camera_solver == "auto":
-        camera_solver = "pcg" if C > 160 else "dense"
-    if camera_solver == "pcg" and (p.cam_ptr is None or p.pt_ptr is None):
+        # The exact dense solve wins well past the old 160-camera cutoff:
+        # at C=256 it runs 3× faster per LM iteration than the best PCG
+        # forcing and converges slightly lower; at C=512 they tie on speed
+        # and dense still wins on cost (scripts/bench_ba_forcing.py, TPU
+        # v5e). Past ~512 the (C,C,6,6) reduced system's memory and O(C³)
+        # factorization take over — switch to the matrix-free PCG. Above
+        # ~32 cameras the dense assembly uses the O(ΣT²) observation-pair
+        # fill instead of the (chunk, T, C) one-hot scan.
+        if C > 512:
+            camera_solver = "pcg"
+        elif C > 32:
+            camera_solver = "dense_pairs"
+        else:
+            camera_solver = "dense"
+    if camera_solver in ("pcg", "dense_pairs") and (
+        p.cam_ptr is None or p.pt_ptr is None
+    ):
         p = sort_obs_by_camera(p)
+    if camera_solver == "dense_pairs":
+        if count_cc_pairs(p) > 32_000_000:  # degenerate mega-track maps
+            camera_solver = "pcg"
+        elif p.cc_ptr is None:
+            p = build_cc_pairs(p)
     return _bundle_adjust_jit(
         p, max_iters=max_iters, loss_scale=loss_scale,
         init_lambda=init_lambda, init_dec=init_dec, ftol=ftol,
@@ -838,7 +1046,7 @@ def _bundle_adjust_jit(
     camera_solver: str = "dense",
     pcg_iters: int = 200,
     pcg_rtol: float = 1e-8,
-    pcg_coarse: int = 16,
+    pcg_coarse: int = 0,
 ) -> BAResult:
     solve_dtype = jnp.dtype(solve_dtype_name)
     dtype = p.points.dtype
@@ -873,6 +1081,10 @@ def _ba_lm_loop(
             d_f, d_cam, d_pts, md = _schur_solve_pcg(
                 e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype,
                 pcg_iters, pcg_rtol, pcg_coarse,
+            )
+        elif camera_solver == "dense_pairs":
+            d_f, d_cam, d_pts, md = _schur_solve_dense_pairs(
+                e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
             )
         else:
             d_f, d_cam, d_pts, md = _schur_solve(

@@ -163,6 +163,14 @@ def test_ba_pcg_matches_dense():
     np.testing.assert_allclose(
         np.asarray(res_p.cam_r), np.asarray(res_d.cam_r), atol=1e-8
     )
+    # The optional coarse-grid preconditioner level must not change the
+    # reached optimum (it is a preconditioner, not the operator).
+    res_c = bundle_adjust(p, max_iters=40, camera_solver="pcg",
+                          pcg_coarse=4)
+    assert float(res_c.cost) < 1e-10 * max(1.0, float(res_c.initial_cost))
+    np.testing.assert_allclose(
+        np.asarray(res_c.cam_r), np.asarray(res_d.cam_r), atol=1e-8
+    )
 
 
 def test_ba_pcg_focal_and_general():

@@ -113,9 +113,9 @@ def main():
     print(f"scene: {C} cams, {P} pts, {K} obs "
           f"(built in {time.perf_counter()-t0:.1f}s)", flush=True)
 
-    for coarse in (16, 0):
+    for coarse, rtol, cap in ((0, 1e-2, 25), (0, 1e-4, 100), (16, 1e-4, 100)):
         kw = dict(camera_solver="pcg", solve_dtype_name="float32",
-                  pcg_rtol=1e-4, pcg_iters=100, ftol=1e-12,
+                  pcg_rtol=rtol, pcg_iters=cap, ftol=1e-12,
                   pcg_coarse=coarse)
         t0 = time.perf_counter()
         res = bundle_adjust(prob, max_iters=15, **kw)
@@ -127,9 +127,9 @@ def main():
         t_warm = time.perf_counter() - t0
         it = int(res.iterations)
         rms = np.sqrt(2 * cost / max(K, 1) / 2)
-        print(f"coarse={coarse}: cold {t_cold:.1f}s; warm {it} iters in "
-              f"{t_warm:.2f}s -> {it / t_warm:.2f} iters/s  "
-              f"cost {float(res.initial_cost):.4g} -> {cost:.6g} "
+        print(f"coarse={coarse} rtol={rtol} cap={cap}: cold {t_cold:.1f}s; "
+              f"warm {it} iters in {t_warm:.2f}s -> {it / t_warm:.2f} "
+              f"iters/s  cost {float(res.initial_cost):.4g} -> {cost:.6g} "
               f"rms {rms:.3f}px", flush=True)
 
 

@@ -171,6 +171,14 @@ def test_ba_pcg_matches_dense():
     np.testing.assert_allclose(
         np.asarray(res_c.cam_r), np.asarray(res_d.cam_r), atol=1e-8
     )
+    # The pairs-based dense assembly (auto dispatch for 32 < C <= 512) is
+    # the SAME exact solve with an O(K + sum T^2) off-diagonal fill — it
+    # must land on the dense optimum too.
+    res_pair = bundle_adjust(p, max_iters=40, camera_solver="dense_pairs")
+    assert float(res_pair.cost) < 1e-10 * max(1.0, float(res_pair.initial_cost))
+    np.testing.assert_allclose(
+        np.asarray(res_pair.cam_r), np.asarray(res_d.cam_r), atol=1e-8
+    )
 
 
 def test_ba_pcg_focal_and_general():

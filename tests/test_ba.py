@@ -232,6 +232,51 @@ def test_ba_pcg_f32_solve():
     assert rms < 0.5, rms
 
 
+def test_ba_pcg_f32_converges_at_scale():
+    """Regression lock for the f32 PCG numerics fixes (frozen-dim masking,
+    centered segment sums, NaN-gated coarse level, exact model decrease):
+    at video scale (C=128, f32) the inexact PCG trajectory must land within
+    a small factor of the exact dense solve instead of stalling 2-5× above
+    it with silently rejected zero steps."""
+    C, P = 128, 4096
+    rng = np.random.default_rng(0)
+    phi = np.arange(C) * 2 * np.pi / C
+    cam_r = np.stack([np.zeros(C), phi, np.zeros(C)], -1).astype(np.float32)
+    cam_t = np.tile([0.0, 0.0, -1.0], (C, 1)).astype(np.float32)
+    R = np.asarray(so3_exp(jnp.asarray(cam_r)))
+    theta = -np.arange(P) * 2 * np.pi / P
+    rad = rng.uniform(5.0, 9.0, P)
+    pts = np.stack([rad * np.sin(theta), rng.uniform(-1.5, 1.5, P),
+                    rad * np.cos(theta)], -1).astype(np.float32)
+    px = np.einsum("cij,pj->pci", R, pts) + cam_t[None]
+    vis = (px[..., 2] > 1.0) & (np.abs(px[..., 0] / px[..., 2]) < 0.6)
+    obs_pt, obs_cam = np.nonzero(vis)
+    keep = np.bincount(obs_pt, minlength=P)[obs_pt] >= 3
+    obs_pt, obs_cam = obs_pt[keep].astype(np.int32), obs_cam[keep].astype(np.int32)
+    uv = (600.0 * px[obs_pt, obs_cam, :2] / px[obs_pt, obs_cam, 2:]
+          + rng.normal(size=(len(obs_pt), 2)) * 0.5).astype(np.float32)
+    from sphericalsfm_tpu.optim.ba import BAProblem, build_tracks
+
+    track_obs, track_mask = build_tracks(obs_pt, P)
+    prob = BAProblem(
+        jnp.float32(600.0), jnp.asarray(cam_t),
+        jnp.asarray(cam_r + rng.normal(size=cam_r.shape).astype(np.float32) * 0.004),
+        jnp.asarray(pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05),
+        jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(uv),
+        jnp.ones(len(obs_pt), jnp.float32),
+        jnp.asarray(track_obs), jnp.asarray(track_mask),
+        jnp.asarray(True), jnp.asarray(np.eye(1, C, 0, dtype=bool)[0]),
+        jnp.ones(C, bool), jnp.zeros(P, bool),
+    )
+    kw = dict(max_iters=15, solve_dtype_name="float32", ftol=1e-12)
+    res_d = bundle_adjust(prob, camera_solver="dense_pairs", **kw)
+    res_p = bundle_adjust(prob, camera_solver="pcg", pcg_rtol=1e-2,
+                          pcg_iters=25, **kw)
+    assert float(res_d.cost) < 0.5 * float(res_d.initial_cost)
+    assert float(res_p.cost) < 1.3 * float(res_d.cost), (
+        float(res_p.cost), float(res_d.cost))
+
+
 def test_ba_matches_scipy_reference():
     """Independent cross-check: our Schur LM must reach the same minimum as
     scipy's trust-region least_squares on the identical robust problem."""

@@ -232,6 +232,34 @@ def test_ba_pcg_f32_solve():
     assert rms < 0.5, rms
 
 
+def test_sorted_segment_sum():
+    """Blocked-cumsum segment sum: exact vs numpy on uneven segments
+    (including zero-length), and the f32 absolute error must stay at the
+    segment magnitude — not the global-prefix magnitude (the mean-centering
+    property the PCG assembly depends on)."""
+    from sphericalsfm_tpu.optim.ba import _sorted_segment_sum
+
+    rng = np.random.default_rng(1)
+    K, d = 5000, 4
+    # same-sign rows: the worst case for prefix-difference cancellation
+    x = (rng.random((K, d)).astype(np.float32) + 0.5) * 100.0
+    cuts = np.sort(rng.choice(np.arange(1, K), 37, replace=False))
+    ptr = np.concatenate([[0], cuts, [cuts[-1]], [K]]).astype(np.int32)
+    ref = np.zeros((len(ptr) - 1, d))
+    for s in range(len(ptr) - 1):
+        ref[s] = x[ptr[s]:ptr[s + 1]].astype(np.float64).sum(0)
+    out = np.asarray(jax.jit(_sorted_segment_sum)(
+        jnp.asarray(x), jnp.asarray(ptr)))
+    # zero-length segment is exactly zero
+    zlen = np.where(np.diff(ptr) == 0)[0]
+    assert len(zlen) and np.all(out[zlen] == 0.0)
+    # error bounded by ~eps relative to each SEGMENT's own magnitude
+    # (plus the sqrt(K)-sigma centered-prefix floor), not the global sum
+    seg_mag = np.abs(ref) + 1.0
+    rel = np.abs(out - ref) / seg_mag
+    assert rel.max() < 5e-5, rel.max()
+
+
 def test_ba_pcg_f32_converges_at_scale():
     """Regression lock for the f32 PCG numerics fixes (frozen-dim masking,
     centered segment sums, NaN-gated coarse level, exact model decrease):

@@ -41,13 +41,16 @@ def _rotmat(r):
 def _retri_chunk(keys, rs, ts, uv, mask, focal, *, sq_thresh, num_hypotheses):
     """One jitted retriangulation chunk. Module-level so repeated
     retriangulate() calls hit the in-memory jit cache — a jit wrapper built
-    inside the method would retrace on every call."""
-    return jax.vmap(
-        lambda k, a, b, c, d: triangulation_ransac(
-            k, a, b, c, d, focal, sq_thresh=sq_thresh,
-            num_hypotheses=num_hypotheses,
-        )
-    )(keys, rs, ts, uv, mask)
+    inside the method would retrace on every call. Traced under HIGHEST
+    matmul precision: the triangulated points are direct geometry outputs,
+    and the TPU MXU default rounds f32 matmul inputs to bf16 (CLAUDE.md)."""
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(
+            lambda k, a, b, c, d: triangulation_ransac(
+                k, a, b, c, d, focal, sq_thresh=sq_thresh,
+                num_hypotheses=num_hypotheses,
+            )
+        )(keys, rs, ts, uv, mask)
 
 
 @dataclass

@@ -67,7 +67,10 @@ class BAConfig:
     max_iters: int = 200
     loss_scale: float = 1.0            # Cauchy
     solve_dtype: str = "float64"       # "float32" on TPU
-    filter_threshold_px: float = 8.0
+    # Reprojection-error observation filter applied between the general-BA
+    # rounds when > 0. Off by default for reference parity: the reference
+    # defines SfM::FilterObservations (sfm.cpp:297) but no driver calls it.
+    filter_threshold_px: float = 0.0
     # Inexact-Newton forcing for the PCG camera solve (>512 cameras; below
     # that the dense Schur Cholesky is faster — scripts/bench_ba_forcing.py):
     # LM steps don't need a tight inner solve, and the 25-iteration cap

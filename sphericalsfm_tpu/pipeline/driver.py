@@ -276,6 +276,8 @@ def run_calibrated(
                         loss_scale=cfg.ba.loss_scale,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
     m.normalize()
+    if cfg.ba.filter_threshold_px > 0:  # opt-in (reference never calls it)
+        m.filter_observations(cfg.ba.filter_threshold_px)
     m.retriangulate(jax.random.fold_in(key, 3))
     stats4 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
@@ -484,6 +486,8 @@ def run_uncalibrated(
                         solve_dtype=cfg.ba.solve_dtype,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
         m.normalize()
+        if cfg.ba.filter_threshold_px > 0:  # opt-in (see BAConfig)
+            m.filter_observations(cfg.ba.filter_threshold_px)
         m.retriangulate(jax.random.fold_in(key, 3))
         s4 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,

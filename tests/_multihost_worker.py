@@ -101,6 +101,11 @@ def main():
     p = build_problem()
     mesh = make_mesh()  # spans all global devices (both processes)
     res = distributed_bundle_adjust(mesh, p, max_iters=12)
+    # matrix-free PCG camera solve: its per-CG-iteration segment sums and
+    # gathers must also partition across the process boundary
+    res_pcg = distributed_bundle_adjust(
+        mesh, p, max_iters=12, camera_solver="pcg"
+    )
     out = {
         "distributed": bool(distributed),
         "process_index": int(jax.process_index()),
@@ -108,6 +113,7 @@ def main():
         "num_local_devices": len(jax.local_devices()),
         "cost": float(res.cost),
         "cam_r": np.asarray(res.cam_r).tolist(),
+        "cost_pcg": float(res_pcg.cost),
     }
     with open(out_path, "w") as f:
         json.dump(out, f)

@@ -73,6 +73,12 @@ def test_two_process_distributed_ba(tmp_path):
     # both controllers must agree bitwise on the replicated result
     assert res[0]["cost"] == res[1]["cost"]
     np.testing.assert_array_equal(res[0]["cam_r"], res[1]["cam_r"])
+    # PCG camera solve across the process boundary: bitwise-identical
+    # controllers and the same optimum as the dense solve
+    assert res[0]["cost_pcg"] == res[1]["cost_pcg"]
+    np.testing.assert_allclose(
+        res[0]["cost_pcg"], res[0]["cost"], rtol=1e-6, atol=1e-18
+    )
 
     # and match the single-process result on the same problem
     sys.path.insert(0, os.path.join(repo, "tests"))

@@ -599,7 +599,7 @@ def _dense_schur_factor_solve(S_cc, S_fc, S_ff, r_c, r_f, solve_dtype,
 
 def _schur_solve_pcg(
     e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale, solve_dtype,
-    pcg_iters, pcg_rtol, coarse_group=16,
+    pcg_iters, pcg_rtol, coarse_group=16, x0_c=None, x0_f=None,
 ):
     """Matrix-free Schur step: block-Jacobi preconditioned CG camera solve.
 
@@ -777,12 +777,35 @@ def _schur_solve_pcg(
     b_fs = -r_f
     bnorm2 = jnp.sum(b_cs * b_cs) + b_fs * b_fs
 
-    z0c, z0f = precond(b_cs, b_fs)
+    # Warm start from the previous LM iteration's camera step: consecutive
+    # Schur systems differ only in λ and the relinearization, so the old
+    # step is a far better initial iterate than 0 once LM settles — the
+    # same inner cap then reaches a smaller residual.
+    if x0_c is None:
+        xc0 = jnp.zeros((C, 6), solve_dtype)
+        xf0 = jnp.zeros((), solve_dtype)
+        r0c, r0f = b_cs, b_fs
+    else:
+        xc0 = (x0_c * free_c).astype(solve_dtype)
+        xf0 = jnp.asarray(x0_f, solve_dtype)
+        Ax_c, Ax_f = matvec(xc0, xf0)
+        r0c = b_cs - Ax_c
+        r0f = b_fs - Ax_f
+        # fall back to the zero start if the warm iterate is worse/non-finite
+        ok0 = jnp.isfinite(jnp.sum(r0c * r0c) + r0f * r0f) & (
+            jnp.sum(r0c * r0c) + r0f * r0f <= bnorm2
+        )
+        xc0 = jnp.where(ok0, xc0, 0.0)
+        xf0 = jnp.where(ok0, xf0, 0.0)
+        r0c = jnp.where(ok0, r0c, b_cs)
+        r0f = jnp.where(ok0, r0f, b_fs)
+
+    z0c, z0f = precond(r0c, r0f)
     state0 = (
-        jnp.zeros((C, 6), solve_dtype), jnp.zeros((), solve_dtype),  # x
-        b_cs, b_fs,                                                  # r
+        xc0, xf0,                                                    # x
+        r0c, r0f,                                                    # r
         z0c, z0f,                                                    # p dir
-        jnp.sum(b_cs * z0c) + b_fs * z0f,                            # rz
+        jnp.sum(r0c * z0c) + r0f * z0f,                              # rz
         jnp.asarray(0),
     )
 
@@ -1075,12 +1098,13 @@ def _ba_lm_loop(
         return ba_cost(f, ct, cr, pts, p, loss_scale)
 
     def body(carry):
-        f, ct, cr, pts, lam, dec, cost, it, done = carry
+        f, ct, cr, pts, lam, dec, cost, it, done, dc_prev, df_prev = carry
         e, Jf, Jc, Jx = _per_obs_jacobians(f, ct, cr, pts, p)
         if camera_solver == "pcg":
             d_f, d_cam, d_pts, md = _schur_solve_pcg(
                 e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype,
                 pcg_iters, pcg_rtol, pcg_coarse,
+                x0_c=dc_prev, x0_f=df_prev,
             )
         elif camera_solver == "dense_pairs":
             d_f, d_cam, d_pts, md = _schur_solve_dense_pairs(
@@ -1115,14 +1139,16 @@ def _ba_lm_loop(
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         cost2 = jnp.where(ok, new_cost, cost)
         done = (ok & (rel < ftol)) | (lam > 1e12)
-        return f, ct, cr, pts, lam, dec, cost2, it + 1, done
+        return (f, ct, cr, pts, lam, dec, cost2, it + 1, done,
+                d_cam, d_f)
 
     def cond(carry):
-        *_, it, done = carry
+        it, done = carry[7], carry[8]
         return (it < max_iters) & (~done)
 
     c0 = cost_of((p.focal, p.cam_t, p.cam_r, p.points))
-    f, ct, cr, pts, lam, dec, cost, it, _ = jax.lax.while_loop(
+    C = p.cam_t.shape[0]
+    f, ct, cr, pts, lam, dec, cost, it, _, _, _ = jax.lax.while_loop(
         cond,
         body,
         (
@@ -1135,6 +1161,8 @@ def _ba_lm_loop(
             c0,
             jnp.asarray(0),
             jnp.asarray(False),
+            jnp.zeros((C, 6), dtype),
+            jnp.zeros((), dtype),
         ),
     )
     return BAResult(

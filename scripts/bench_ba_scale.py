@@ -113,7 +113,7 @@ def main():
     print(f"scene: {C} cams, {P} pts, {K} obs "
           f"(built in {time.perf_counter()-t0:.1f}s)", flush=True)
 
-    for coarse, rtol, cap in ((0, 1e-2, 25), (0, 1e-4, 100), (16, 1e-4, 100)):
+    for coarse, rtol, cap in ((0, 1e-2, 25), (0, 1e-2, 12), (0, 1e-4, 100)):
         kw = dict(camera_solver="pcg", solve_dtype_name="float32",
                   pcg_rtol=rtol, pcg_iters=cap, ftol=1e-12,
                   pcg_coarse=coarse)

@@ -874,12 +874,25 @@ def sort_obs_by_camera(p: BAProblem) -> BAProblem:
     )
 
 
-def count_cc_pairs(p: BAProblem) -> int:
-    """Host-side: ΣT(T−1)/2 over points — the pair-table size the pairs-dense
-    assembly would need (cheap solver-choice probe, no tables built)."""
+def _live_point_runs(p: BAProblem):
+    """Host-side: point-major obs indices restricted to LIVE (w>0) rows,
+    with their per-point run lengths. Padding observations (w=0) must not
+    enter the pair tables: they contribute zero but would inflate a padded
+    point's track length quadratically."""
     import numpy as np
 
-    L = np.diff(np.asarray(p.pt_ptr)).astype(np.int64)
+    pt_order = np.asarray(p.pt_order).astype(np.int64)
+    w = np.asarray(p.obs_w)
+    live = pt_order[w[pt_order] > 0]          # camera-ascending within point
+    obs_pt = np.asarray(p.obs_pt).astype(np.int64)
+    L = np.bincount(obs_pt[live], minlength=p.points.shape[0])
+    return live, L
+
+
+def count_cc_pairs(p: BAProblem) -> int:
+    """Host-side: ΣT(T−1)/2 over points' LIVE observations — the pair-table
+    size the pairs-dense assembly would need (cheap solver-choice probe)."""
+    _, L = _live_point_runs(p)
     return int((L * (L - 1) // 2).sum())
 
 
@@ -898,12 +911,10 @@ def build_cc_pairs(p: BAProblem) -> BAProblem:
     import numpy as np
 
     C = p.cam_t.shape[0]
-    pt_ptr = np.asarray(p.pt_ptr).astype(np.int64)
-    pt_order = np.asarray(p.pt_order).astype(np.int64)
     obs_cam = np.asarray(p.obs_cam).astype(np.int64)
-    L = np.diff(pt_ptr)
-    K = len(pt_order)
-    starts = pt_ptr[:-1]
+    live, L = _live_point_runs(p)
+    K = len(live)
+    starts = np.concatenate([[0], np.cumsum(L)[:-1]])
     grp = np.repeat(np.arange(len(L)), L)               # point of each slot
     pos = np.arange(K) - np.repeat(starts, L)           # index within run
     cnt = L[grp] - 1 - pos                              # pairs led by slot
@@ -911,8 +922,8 @@ def build_cc_pairs(p: BAProblem) -> BAProblem:
     a_slot = np.repeat(np.arange(K), cnt)
     off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
     b_slot = a_slot + 1 + off
-    pair_a = pt_order[a_slot]
-    pair_b = pt_order[b_slot]
+    pair_a = live[a_slot]
+    pair_b = live[b_slot]
     key = obs_cam[pair_a] * C + obs_cam[pair_b]
     order = np.argsort(key, kind="stable")
     pair_a, pair_b, key = pair_a[order], pair_b[order], key[order]
@@ -978,6 +989,18 @@ def bundle_adjust(
             camera_solver = "pcg"
         elif p.cc_ptr is None:
             p = build_cc_pairs(p)
+    if camera_solver == "dense_pairs" or (
+        camera_solver == "pcg" and pcg_coarse == 0
+    ):
+        # These solvers never read the track table; its max-track-length
+        # axis is data-dependent and would needlessly fragment the jit
+        # cache (one ~30 s XLA compile per distinct longest track).
+        if p.track_obs.shape[1] > 1:
+            Pn = p.points.shape[0]
+            p = p._replace(
+                track_obs=jnp.zeros((Pn, 1), jnp.int32),
+                track_mask=jnp.zeros((Pn, 1), bool),
+            )
     return _bundle_adjust_jit(
         p, max_iters=max_iters, loss_scale=loss_scale,
         init_lambda=init_lambda, init_dec=init_dec, ftol=ftol,

@@ -233,21 +233,45 @@ class SfMMap:
         track_obs, track_mask = build_tracks(self.obs_pt, self.num_points)
         track_mask = track_mask & (w[track_obs] > 0)
 
+        # Bucket the traced shapes (C to 1.25×-steps, P/K to powers of two)
+        # so captures of DIFFERENT length reuse compiled BA programs — the
+        # XLA compile of the LM while_loop is ~25-35 s per distinct shape.
+        # Padding is inert by construction: padded cameras are fully frozen
+        # with no observations (the solvers' frozen-dim masking keeps their
+        # blocks exact zeros), padded points are fixed with no live
+        # observations (Hpp_inv = 0 via the live-obs count), and padded
+        # observations carry w = 0 and are excluded from the pair tables.
+        C, P, K = self.num_cameras, self.num_points, len(self.obs_cam)
+        Cp = 8
+        while Cp < C:
+            Cp = max(Cp + 8, int(Cp * 1.25) // 8 * 8)
+        Pp, Kp = 64, 64
+        while Pp <= P:  # strictly > P: padded observations park on point P
+            Pp *= 2
+        while Kp < K:
+            Kp *= 2
+
+        def padn(x, n, fill=0):
+            widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, widths, constant_values=fill)
+
         prob = BAProblem(
             focal=jnp.asarray(float(np.asarray(self.intrinsics.focal))),
-            cam_t=jnp.asarray(self.cam_t),
-            cam_r=jnp.asarray(self.cam_r),
-            points=jnp.asarray(self.points),
-            obs_cam=jnp.asarray(self.obs_cam),
-            obs_pt=jnp.asarray(self.obs_pt),
-            obs_uv=jnp.asarray(self.obs_uv),
-            obs_w=jnp.asarray(w),
-            track_obs=jnp.asarray(track_obs),
-            track_mask=jnp.asarray(track_mask),
+            cam_t=jnp.asarray(padn(self.cam_t, Cp)),
+            cam_r=jnp.asarray(padn(self.cam_r, Cp)),
+            points=jnp.asarray(padn(self.points, Pp)),
+            obs_cam=jnp.asarray(padn(self.obs_cam, Kp)),
+            obs_pt=jnp.asarray(padn(self.obs_pt, Kp, fill=P)),
+            obs_uv=jnp.asarray(padn(self.obs_uv, Kp)),
+            obs_w=jnp.asarray(padn(w, Kp)),
+            track_obs=jnp.asarray(padn(track_obs, Pp)),
+            track_mask=jnp.asarray(padn(track_mask, Pp, fill=False)),
             focal_fixed=jnp.asarray(self.focal_fixed),
-            rot_fixed=jnp.asarray(self.rotation_fixed),
-            trans_fixed=jnp.asarray(self.translation_fixed),
-            point_fixed=jnp.asarray(self.point_fixed | ~usable_pt),
+            rot_fixed=jnp.asarray(padn(self.rotation_fixed, Cp, fill=True)),
+            trans_fixed=jnp.asarray(padn(self.translation_fixed, Cp,
+                                         fill=True)),
+            point_fixed=jnp.asarray(padn(self.point_fixed | ~usable_pt, Pp,
+                                         fill=True)),
         )
         _t1 = _time.perf_counter()
         res = bundle_adjust(prob, max_iters=max_iters,
@@ -261,9 +285,10 @@ class SfMMap:
              res.initial_cost, res.iterations)
         )
         _t2 = _time.perf_counter()
-        self.cam_t = np.asarray(cam_t)
-        self.cam_r = np.asarray(cam_r)
-        self.points = np.where(usable_pt[:, None], upd, self.points)
+        self.cam_t = np.asarray(cam_t)[:C]
+        self.cam_r = np.asarray(cam_r)[:C]
+        self.points = np.where(usable_pt[:, None], np.asarray(upd)[:P],
+                               self.points)
         self.intrinsics = Intrinsics(
             jnp.asarray(float(focal)), self.intrinsics.cx, self.intrinsics.cy
         )

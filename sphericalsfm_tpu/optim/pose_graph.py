@@ -420,7 +420,45 @@ def _robust_block_lm_body(
     return rots, extra, cost
 
 
-@partial(jax.jit, static_argnames=("max_iters", "solver"))
+def _pad_graph(rotations_r, g: RotationGraph):
+    """Host-side shape bucketing for the pose-graph LM: nodes to 1.25×-step
+    buckets (multiples of 8), edges to powers of two, so captures of
+    different length reuse the compiled LM while_loop (~1 min of XLA
+    compile per distinct shape). Padded nodes are gauge-frozen identity
+    rotations; padded edges carry w = 0 (masked everywhere, including the
+    residual normalization's max over real edge norms).
+
+    Returns (rotations_padded, graph_padded, fixed_mask, N_real).
+    """
+    import numpy as np
+
+    N = rotations_r.shape[0]
+    E = g.edge_i.shape[0]
+    Np = 8
+    while Np < N:
+        Np = max(Np + 8, int(Np * 1.25) // 8 * 8)
+    Ep = 64
+    while Ep < E:
+        Ep *= 2
+
+    def padn(x, n, fill=0):
+        x = np.asarray(x)
+        widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths, constant_values=fill)
+
+    rot_p = jnp.asarray(padn(rotations_r, Np))
+    gp = RotationGraph(
+        edge_i=jnp.asarray(padn(g.edge_i, Ep)),
+        edge_j=jnp.asarray(padn(g.edge_j, Ep)),
+        r_meas=jnp.asarray(padn(g.r_meas, Ep)),
+        edge_w=jnp.asarray(padn(g.edge_w, Ep)),
+    )
+    fixed = np.zeros(Np, bool)
+    fixed[0] = True
+    fixed[N:] = True
+    return rot_p, gp, jnp.asarray(fixed), N
+
+
 def optimize_rotations(
     rotations_r: jnp.ndarray, g: RotationGraph, max_iters: int = 64,
     solver: str = "auto",
@@ -430,14 +468,28 @@ def optimize_rotations(
 
     Returns (rotations_r (N, 3), final_cost). `solver`: "dense" |
     "pcg" (scatter-free segment-sum CG, scales past hundreds of frames) |
-    "auto".
+    "auto". Shapes are bucket-padded so different capture lengths share
+    compiled programs.
     """
+    if solver == "auto":  # resolve on the REAL size, not the padded one
+        solver = "pcg" if rotations_r.shape[0] > 400 else "dense"
+    rot_p, gp, fixed, N = _pad_graph(rotations_r, g)
+    rots, cost = _optimize_rotations_jit(
+        rot_p, gp, fixed, max_iters=max_iters, solver=solver
+    )
+    return rots[:N], cost
+
+
+@partial(jax.jit, static_argnames=("max_iters", "solver"))
+def _optimize_rotations_jit(
+    rotations_r: jnp.ndarray, g: RotationGraph, fixed: jnp.ndarray,
+    max_iters: int = 64, solver: str = "auto",
+):
     scale = _edge_scale(g)
 
     def residual(r0, r1, _extra, r_meas):
         return _cycle_residual(r0, r1, r_meas, scale)
 
-    fixed = jnp.zeros(rotations_r.shape[0], bool).at[0].set(True)
     rots, _, cost = _robust_block_lm(
         residual, rotations_r, None, g.edge_i, g.edge_j, g.r_meas, g.edge_w,
         fixed, max_iters=max_iters, solver=solver,
@@ -445,10 +497,36 @@ def optimize_rotations(
     return rots, cost
 
 
-@partial(jax.jit, static_argnames=("max_iters", "solver"))
 def optimize_rotations_and_focal(
     rotations_r: jnp.ndarray,
     g: RotationGraph,
+    focal_mult0,
+    mult_lo,
+    mult_hi,
+    max_iters: int = 64,
+    solver: str = "auto",
+):
+    """Joint rotations + focal-multiplier optimization (reference
+    optimize_rotations_and_focal_length, uncalibrated_pose_graph.cpp:147-203).
+
+    Returns (rotations_r, focal_mult, final_cost). The caller multiplies its
+    focal guess by focal_mult. Shape-bucketed like `optimize_rotations`.
+    """
+    if solver == "auto":
+        solver = "pcg" if rotations_r.shape[0] > 400 else "dense"
+    rot_p, gp, fixed, N = _pad_graph(rotations_r, g)
+    rots, fmult, cost = _optimize_rotations_and_focal_jit(
+        rot_p, gp, fixed, jnp.asarray(focal_mult0), jnp.asarray(mult_lo),
+        jnp.asarray(mult_hi), max_iters=max_iters, solver=solver,
+    )
+    return rots[:N], fmult, cost
+
+
+@partial(jax.jit, static_argnames=("max_iters", "solver"))
+def _optimize_rotations_and_focal_jit(
+    rotations_r: jnp.ndarray,
+    g: RotationGraph,
+    fixed: jnp.ndarray,
     focal_mult0: jnp.ndarray,
     mult_lo: jnp.ndarray,
     mult_hi: jnp.ndarray,
@@ -471,7 +549,6 @@ def optimize_rotations_and_focal(
         R1 = so3_exp(r1)
         return scale * so3_log((R1 @ R0.T) @ Rm.T)
 
-    fixed = jnp.zeros(rotations_r.shape[0], bool).at[0].set(True)
     rots, fmult, cost = _robust_block_lm(
         residual, rotations_r, focal_mult0, g.edge_i, g.edge_j, edge_data,
         g.edge_w, fixed, extra_bounds=(mult_lo, mult_hi), max_iters=max_iters,

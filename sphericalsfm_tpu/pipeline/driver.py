@@ -402,8 +402,20 @@ def run_uncalibrated(
     from ..geometry.essential import make_spherical_essential
 
     E_search = make_spherical_essential(so3_exp(jnp.asarray(pw.r)), cfg.inward)
+    # Bucket the edge axis to the next power of two (padding edges carry
+    # w = 0, masked throughout): the focal-search sweeps compile per edge
+    # count otherwise — one fresh XLA compile per capture.
+    E_n = len(fr.pair_i)
+    E_pad = 64
+    while E_pad < E_n:
+        E_pad *= 2
+    padE = lambda x, fill=0: np.pad(  # noqa: E731
+        np.asarray(x), [(0, E_pad - E_n)] + [(0, 0)] * (np.ndim(x) - 1),
+        constant_values=fill)
     search_args = (
-        E_search, jnp.asarray(fr.pair_i), jnp.asarray(fr.pair_j), ew, F,
+        jnp.asarray(padE(E_search)), jnp.asarray(padE(fr.pair_i)),
+        jnp.asarray(padE(fr.pair_j)), jnp.asarray(padE(keep.astype(float))),
+        F,
     )
     search_kw = dict(
         min_focal=focal_guess * cfg.focal.min_focal_factor,

@@ -198,18 +198,26 @@ def _robust_block_lm_body(
         J1 = J[:, :, 3:6] * free[edge_j][:, None, None]
         return res, J, J0, J1, w
 
-    if solver == "pcg":
-        # Sorted edge orders for scatter-free node reductions.
-        order_i = jnp.argsort(edge_i)
-        ptr_i = jnp.searchsorted(edge_i[order_i], jnp.arange(N + 1))
-        order_j = jnp.argsort(edge_j)
-        ptr_j = jnp.searchsorted(edge_j[order_j], jnp.arange(N + 1))
+    # Sorted edge orders for scatter-free node reductions (both solvers —
+    # scatters serialize on TPU, CLAUDE.md). Topology is constant through
+    # the LM loop, so the sorts happen once per trace.
+    order_i = jnp.argsort(edge_i)
+    ptr_i = jnp.searchsorted(edge_i[order_i], jnp.arange(N + 1))
+    order_j = jnp.argsort(edge_j)
+    ptr_j = jnp.searchsorted(edge_j[order_j], jnp.arange(N + 1))
 
-        def seg_i(x):
-            return _sorted_segment_sum(x[order_i], ptr_i)
+    def seg_i(x):
+        return _sorted_segment_sum(x[order_i], ptr_i)
 
-        def seg_j(x):
-            return _sorted_segment_sum(x[order_j], ptr_j)
+    def seg_j(x):
+        return _sorted_segment_sum(x[order_j], ptr_j)
+
+    if solver == "dense":
+        # (i, j) block keys for the scatter-free off-diagonal fill — each
+        # edge IS one upper-triangle block of the (N, N, 3, 3) system.
+        key_ij = edge_i.astype(jnp.int32) * N + edge_j  # N ≤ 400: fits i32
+        order_ij = jnp.argsort(key_ij)
+        ptr_ij = jnp.searchsorted(key_ij[order_ij], jnp.arange(N * N + 1))
 
     def pcg_step(rots, extra, lam):
         """Matrix-free damped GN step: block-Jacobi CG over the edge list."""
@@ -322,33 +330,45 @@ def _robust_block_lm_body(
         return x, xf
 
     def build_system(rots, extra):
+        """Scatter-free normal equations: node blocks and gradients via the
+        sorted segment sums, off-diagonal blocks via the (i, j)-keyed
+        segment sum (one edge = one upper-triangle block). Frozen (gauge /
+        padded) nodes are masked to exact zeros — segment-sum roundoff at
+        the global magnitude would otherwise land in their zero rows."""
         res, J, J0, J1, w = edge_terms(rots, extra)
-
-        H = jnp.zeros((N, N, 3, 3), dtype)
-        gvec = jnp.zeros((N, 3), dtype)
         wj = w[:, None, None]
-        H = H.at[edge_i, edge_i].add(jnp.einsum("edi,edj->eij", J0 * wj, J0))
-        H = H.at[edge_j, edge_j].add(jnp.einsum("edi,edj->eij", J1 * wj, J1))
-        H = H.at[edge_i, edge_j].add(jnp.einsum("edi,edj->eij", J0 * wj, J1))
-        H = H.at[edge_j, edge_i].add(jnp.einsum("edi,edj->eij", J1 * wj, J0))
-        gvec = gvec.at[edge_i].add(jnp.einsum("edi,ed->ei", J0 * wj, res))
-        gvec = gvec.at[edge_j].add(jnp.einsum("edi,ed->ei", J1 * wj, res))
+        E = res.shape[0]
+        A0 = jnp.einsum("edi,edj->eij", J0 * wj, J0).reshape(E, 9)
+        A1 = jnp.einsum("edi,edj->eij", J1 * wj, J1).reshape(E, 9)
+        C01 = jnp.einsum("edi,edj->eij", J0 * wj, J1).reshape(E, 9)
+        g0 = jnp.einsum("edi,ed->ei", J0 * wj, res)
+        g1 = jnp.einsum("edi,ed->ei", J1 * wj, res)
+        if has_extra:
+            Jf_w = J[:, :, 6]  # focal column (E, 3)
+            f0 = jnp.einsum("edi,ed->ei", J0 * wj, Jf_w)
+            f1 = jnp.einsum("edi,ed->ei", J1 * wj, Jf_w)
+        else:
+            f0 = f1 = jnp.zeros((E, 3), dtype)
+        seg = seg_i(jnp.concatenate([A0, g0, f0], axis=-1)) + seg_j(
+            jnp.concatenate([A1, g1, f1], axis=-1)
+        )
+        Hnn = seg[:, :9].reshape(N, 3, 3) * free[:, None, None]
+        gvec = seg[:, 9:12] * free[:, None]
+        fcol3 = seg[:, 12:15] * free[:, None]
+
+        off = _sorted_segment_sum(C01[order_ij], ptr_ij).reshape(N, N, 3, 3)
+        off = off * free[:, None, None, None] * free[None, :, None, None]
+        H = off + jnp.transpose(off, (1, 0, 3, 2))
+        H = H.at[jnp.arange(N), jnp.arange(N)].add(Hnn)
 
         Hd = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
         gd = gvec.reshape(3 * N)
         if has_extra:
-            Jf_w = J[:, :, 6]  # focal column (E, 3)
-            Hf0 = jnp.zeros((N, 3), dtype).at[edge_i].add(
-                jnp.einsum("edi,ed->ei", J0 * wj, Jf_w)
-            )
-            Hf1 = jnp.zeros((N, 3), dtype).at[edge_j].add(
-                jnp.einsum("edi,ed->ei", J1 * wj, Jf_w)
-            )
             Hff = jnp.sum(w * jnp.sum(Jf_w * Jf_w, axis=-1))
             gf = jnp.sum(w * jnp.sum(Jf_w * res, axis=-1))
             Hfull = jnp.zeros((D, D), dtype)
             Hfull = Hfull.at[: 3 * N, : 3 * N].set(Hd)
-            fcol = (Hf0 + Hf1).reshape(-1)
+            fcol = fcol3.reshape(-1)
             Hfull = Hfull.at[: 3 * N, 3 * N].set(fcol)
             Hfull = Hfull.at[3 * N, : 3 * N].set(fcol)
             Hfull = Hfull.at[3 * N, 3 * N].set(Hff)

@@ -522,3 +522,18 @@ def _write_outputs(m: SfMMap, output_dir: str, fr: FrontendResult):
     m.write_camera_centers_obj(os.path.join(output_dir, "cameras.obj"))
     m.write_colmap(os.path.join(output_dir, "sparse", "model"),
                    fr.feats.width, fr.feats.height)
+    # Machine-readable reconstruction summary next to the artifacts.
+    errs = m.reprojection_errors()
+    live = np.asarray(m.obs_valid) & (np.linalg.norm(
+        m.points[m.obs_pt], axis=-1) > 0)
+    summary = {
+        "cameras": int(m.num_cameras),
+        "points": int(m.point_valid().sum()),
+        "observations": int(live.sum()),
+        "focal": float(np.asarray(m.intrinsics.focal)),
+        "mean_reproj_px": float(errs[live].mean()) if live.any() else None,
+        "median_reproj_px": (
+            float(np.median(errs[live])) if live.any() else None),
+    }
+    with open(os.path.join(output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)

@@ -134,6 +134,56 @@ def test_uncalibrated_driver_recovers_focal(tmp_path_factory):
     assert os.path.exists(os.path.join(out, "sparse/final/cameras.txt"))
 
 
+def test_uncalibrated_driver_from_colmap_db(tmp_path_factory):
+    """-colmap mode: features/matches loaded from a COLMAP SQLite database
+    (the reference's PhoneSweep input path, run_spherical_sfm_uncalib.cpp
+    -colmap flag) must drive the full uncalibrated pipeline."""
+    from sphericalsfm_tpu.config import PipelineConfig
+    from sphericalsfm_tpu.io.colmap import ColmapDatabase, write_database
+    from sphericalsfm_tpu.pipeline.driver import (
+        StageLogger, run_frontend, run_uncalibrated,
+    )
+
+    cam_r_gt, cam_t_gt, gray, color = render_capture(num_frames=16, arc=1.0)
+    out = str(tmp_path_factory.mktemp("sfm_colmap_out"))
+    cfg = PipelineConfig()
+    cfg.frontend.max_keypoints = 512
+    cfg.frontend.max_matches_per_pair = 384
+    cfg.ransac.num_hypotheses = 384
+    cfg.ransac.min_num_inliers = 30
+    cfg.focal.num_trials = 256
+    cfg.ba.max_iters = 60
+
+    # Build the database from our own frontend's features/matches.
+    fr = run_frontend(None, cfg, StageLogger(out), gray, color)
+    F = fr.feats.valid.shape[0]
+    counts = fr.feats.counts
+    keypoints = [np.asarray(fr.feats.xy[f][: counts[f]], np.float32)
+                 for f in range(F)]
+    descriptors = [np.asarray(fr.feats.descriptor[f][: counts[f]],
+                              np.float32) for f in range(F)]
+    matches = {}
+    for p in range(len(fr.pair_i)):
+        mk = np.asarray(fr.mmask[p])
+        if mk.sum() < 5:
+            continue
+        matches[(int(fr.pair_i[p]), int(fr.pair_j[p]))] = np.stack(
+            [np.asarray(fr.idx0[p][mk]), np.asarray(fr.idx1[p][mk])], -1
+        ).astype(np.int32)
+    db_path = f"{out}/features.db"
+    write_database(db_path, ColmapDatabase(
+        intrinsics=((W + H) / 2.0, W / 2.0, H / 2.0), width=W, height=H,
+        names=[f"frame{f:04d}.png" for f in range(F)],
+        keypoints=keypoints, descriptors=descriptors, matches=matches,
+    ))
+
+    m, focal = run_uncalibrated(None, out, cfg, colmap_db=db_path)
+    assert abs(focal - FOCAL) / FOCAL < 0.05, focal
+    import os
+
+    assert os.path.exists(os.path.join(out, "calib.txt"))
+
+
 def test_uncalibrated_five_point_mode(tmp_path_factory):
     """-fivepoint: general 5-pt pairwise estimation through the driver."""
     from sphericalsfm_tpu.config import PipelineConfig

@@ -443,6 +443,15 @@ def run_uncalibrated(
             jax.random.fold_in(key, 10), focal_guess, *search_args,
             num_trials=cfg.focal.num_trials, **search_kw,
         )
+    if cfg.focal.strategy in ("grid", "random"):
+        # Debug artifact mirroring the reference's costs.txt dump
+        # (spherical_sfm_tools.cpp:1358-1404): one "focal cost" row per
+        # hypothesis, sorted by focal.
+        order = np.argsort(np.asarray(focals))
+        with open(os.path.join(output_dir, "focal_costs.txt"), "w") as fh:
+            for fo, co in zip(np.asarray(focals)[order],
+                              np.asarray(costs)[order]):
+                fh.write(f"{float(fo):.4f} {float(co):.8g}\n")
     # Joint rotations + focal refinement at the best hypothesis.
     r_best = rotations_at_focal(E_search, best_focal / focal_guess,
                                 cfg.inward)

@@ -64,6 +64,38 @@ def test_poses_and_nerf_export(tmp_path):
     assert 1.0 < np.linalg.norm(centers, axis=-1).mean() < 8.0
 
 
+def test_undistort_cli(tmp_path):
+    """D3 undistort_images: image-sequence input → undistorted PNGs +
+    pinhole intrinsics (reference undistort_images.cpp:23-97)."""
+    import sys
+
+    import cv2
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(d / f"{i:02d}.png"),
+                    rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+    (d / "intr.txt").write_text("60 32 24\n")
+    out = tmp_path / "und"
+    argv_save = sys.argv
+    sys.argv = ["prog", "undistort", "--images", str(d / "%02d.png"),
+                "--intrinsics", str(d / "intr.txt"),
+                "--distortion", "0.1,-0.05", "--output", str(out)]
+    try:
+        from sphericalsfm_tpu.cli import main
+
+        main()
+    finally:
+        sys.argv = argv_save
+    assert sorted(p.name for p in out.iterdir()) == [
+        "000000.png", "000001.png", "000002.png", "intrinsics.txt"]
+    focal, cx, cy = (float(x)
+                     for x in (out / "intrinsics.txt").read_text().split())
+    assert 30 < focal < 120 and 0 < cx < 64 and 0 < cy < 48
+
+
 def test_experiment_runners(tmp_path):
     """Smoke: the E5-parity experiment harness produces CSV artifacts."""
     from sphericalsfm_tpu.eval.experiments import (

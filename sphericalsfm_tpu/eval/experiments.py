@@ -170,13 +170,16 @@ def relpose_comparison(
     (examples/test_spherical_relpose.cpp:596-631), as one CSV.
 
     The 5-pt eig path prefers a CPU backend (auto-dispatches a QR
-    eigensolver elsewhere); the 8-pt DLT baseline matches the reference's
-    `eightpt` comparison column (test_spherical_relpose.cpp:596-631)."""
+    eigensolver elsewhere); the 7-pt (det-cubic) and 8-pt (DLT) baselines
+    match the reference's `sevenpt`/`eightpt` comparison columns
+    (test_spherical_relpose.cpp:596-631)."""
     from ..solvers.eight_point import solve_essential_8pt
     from ..solvers.five_point import solve_essential_5pt
+    from ..solvers.seven_point import solve_essential_7pt
 
     solve3 = jax.jit(solve_spherical_3pt)
     solve5 = jax.jit(solve_essential_5pt)
+    solve7 = jax.jit(solve_essential_7pt)
     solve8 = jax.jit(solve_essential_8pt)
     rows = []
     for a_i, angle in enumerate(angles_deg):
@@ -195,6 +198,10 @@ def relpose_comparison(
             f5 = jnp.where(v5, frobenius_error(Es5, prob.E[:, None]), jnp.inf)
             med5 = float(np.median(np.asarray(jnp.min(f5, -1))[ok]))
 
+            Es7, v7 = solve7(prob.u[:, :7], prob.v[:, :7])
+            f7 = jnp.where(v7, frobenius_error(Es7, prob.E[:, None]), jnp.inf)
+            med7 = float(np.median(np.asarray(jnp.min(f7, -1))[ok]))
+
             Es8, v8 = solve8(prob.u, prob.v)
             f8 = jnp.where(v8, frobenius_error(Es8, prob.E), jnp.inf)
             med8 = float(np.median(np.asarray(f8)[ok]))
@@ -203,6 +210,7 @@ def relpose_comparison(
                 "rotation_deg": angle, "noise_px": noise,
                 "median_frob_spherical_3pt": med3,
                 "median_frob_general_5pt": med5,
+                "median_frob_sevenpt": med7,
                 "median_frob_normalized_8pt": med8,
             })
     _write_csv(out_csv, rows)

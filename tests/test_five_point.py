@@ -151,6 +151,23 @@ def test_eig_real_batched_random_matrices():
     assert found == total, (found, total)
 
 
+def test_7pt_baseline_exact_recovery():
+    """7-pt det-cubic baseline (reference `sevenpt` column,
+    test_spherical_relpose.cpp:596-631): on clean data one of the ≤3 real
+    roots recovers the true essential matrix."""
+    from sphericalsfm_tpu.solvers.seven_point import solve_essential_7pt
+
+    u, v, E_gt, R, t, good = _general_problems(9, 64, 7)
+    E7, valid = solve_essential_7pt(u, v)
+    err = np.asarray(
+        jnp.where(valid, frobenius_error(E7, E_gt[:, None]), jnp.inf)
+    ).min(axis=-1)
+    ok = good.all(axis=-1)
+    assert np.median(err[ok]) < 1e-6, np.median(err[ok])
+    # every problem must yield at least one real root
+    assert np.asarray(valid).any(axis=-1).all()
+
+
 def test_8pt_baseline_exact_and_noise():
     """Normalized 8-pt DLT (reference `eightpt` baseline,
     test_spherical_relpose.cpp:596-631): exact on clean data, degrades

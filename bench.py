@@ -168,7 +168,33 @@ def bench_ba(device):
     return int(res.iterations) / dt, len(obs_pt)
 
 
+def _chip_watchdog(seconds: float = 240.0):
+    """Emit a sentinel JSON line and exit if the first device op never
+    returns — the axon tunnel can wedge so every client hangs (CLAUDE.md);
+    a recorded error beats a silent timeout kill with no output."""
+    import threading
+
+    def bail():
+        print(json.dumps({
+            "metric": "spherical_ransac_pairs_per_s",
+            "value": -1.0,
+            "unit": "pairs/s",
+            "vs_baseline": -1.0,
+            "error": f"TPU unresponsive after {seconds:.0f}s "
+                     "(axon tunnel wedge) — no measurements taken",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    x = jnp.ones((128, 128))
+    (x @ x).block_until_ready()  # hangs here if the chip is wedged
+    t.cancel()
+
+
 def main():
+    _chip_watchdog()
     u, v, m, R_gt, keys = make_data()
     accel = jax.devices()[0]
     cpu = jax.devices("cpu")[0]

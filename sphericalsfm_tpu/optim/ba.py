@@ -951,6 +951,7 @@ def bundle_adjust(
     pcg_iters: int = 200,
     pcg_rtol: float = 1e-8,
     pcg_coarse: int = 0,
+    matmul_precision: str = "highest",
 ) -> BAResult:
     """Robust LM bundle adjustment; returns the optimized state.
 
@@ -1006,6 +1007,7 @@ def bundle_adjust(
         init_lambda=init_lambda, init_dec=init_dec, ftol=ftol,
         solve_dtype_name=solve_dtype_name, camera_solver=camera_solver,
         pcg_iters=pcg_iters, pcg_rtol=pcg_rtol, pcg_coarse=pcg_coarse,
+        matmul_precision=matmul_precision,
     )
 
 
@@ -1078,7 +1080,7 @@ def bundle_adjust_checkpointed(
     jax.jit,
     static_argnames=(
         "max_iters", "loss_scale", "solve_dtype_name", "camera_solver",
-        "pcg_iters", "pcg_rtol", "pcg_coarse",
+        "pcg_iters", "pcg_rtol", "pcg_coarse", "matmul_precision",
     ),
 )
 def _bundle_adjust_jit(
@@ -1093,6 +1095,7 @@ def _bundle_adjust_jit(
     pcg_iters: int = 200,
     pcg_rtol: float = 1e-8,
     pcg_coarse: int = 0,
+    matmul_precision: str = "highest",
 ) -> BAResult:
     solve_dtype = jnp.dtype(solve_dtype_name)
     dtype = p.points.dtype
@@ -1104,7 +1107,9 @@ def _bundle_adjust_jit(
     # worse final cost on the 256-camera ring vs the identical f32 run on
     # CPU). These contractions are small; HIGHEST costs little here. The
     # context applies at trace time, so it covers the while_loop body too.
-    with jax.default_matmul_precision("highest"):
+    # `matmul_precision` exists so the 3-pass "high" mode can be measured
+    # against the 6-pass default on real workloads (scripts/bench_ba_forcing).
+    with jax.default_matmul_precision(matmul_precision):
         return _ba_lm_loop(
             p, max_iters, loss_scale, init_lambda, init_dec, ftol,
             solve_dtype, dtype, camera_solver, pcg_iters, pcg_rtol,

@@ -8,7 +8,8 @@ convergence (docs/NUMERICS.md). HIGH (3 passes) carries ~21-24 mantissa bits
 script answers that empirically: per-LM-iteration wall time and reached cost
 for each mode on ring scenes at the dense_pairs and PCG scales.
 
-Usage: python scripts/bench_ba_precision.py [C W P] ...
+Usage: python scripts/bench_ba_precision.py [C W P]
+(with C W P given, only that one scene is swept; default sweeps all three)
 """
 
 import os
@@ -40,12 +41,18 @@ def run(prob, prec, iters, **kw):
 
 def main():
     print("device:", jax.devices()[0])
-    scenes = [
-        ("dense_pairs C=64", dict(C=64, W=680, P=8192), dict(), 30),
-        ("dense_pairs C=256", dict(C=256, W=560, P=32768), dict(), 30),
-        ("pcg C=2000", dict(C=2000, W=520, P=131072),
-         dict(camera_solver="pcg", pcg_rtol=1e-2, pcg_iters=25), 10),
-    ]
+    if len(sys.argv) >= 4:
+        C, W, P = (int(a) for a in sys.argv[1:4])
+        kw = (dict(camera_solver="pcg", pcg_rtol=1e-2, pcg_iters=25)
+              if C > 512 else {})
+        scenes = [(f"C={C}", dict(C=C, W=W, P=P), kw, 30 if C <= 512 else 10)]
+    else:
+        scenes = [
+            ("dense_pairs C=64", dict(C=64, W=680, P=8192), dict(), 30),
+            ("dense_pairs C=256", dict(C=256, W=560, P=32768), dict(), 30),
+            ("pcg C=2000", dict(C=2000, W=520, P=131072),
+             dict(camera_solver="pcg", pcg_rtol=1e-2, pcg_iters=25), 10),
+        ]
     for name, sk, kw, iters in scenes:
         prob = make_ring_scene(**sk)
         K = int(np.count_nonzero(np.asarray(prob.obs_w)))

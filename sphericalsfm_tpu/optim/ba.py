@@ -1108,7 +1108,7 @@ def _bundle_adjust_jit(
     # CPU). These contractions are small; HIGHEST costs little here. The
     # context applies at trace time, so it covers the while_loop body too.
     # `matmul_precision` exists so the 3-pass "high" mode can be measured
-    # against the 6-pass default on real workloads (scripts/bench_ba_forcing).
+    # against the 6-pass default on real workloads (scripts/bench_ba_precision.py).
     with jax.default_matmul_precision(matmul_precision):
         return _ba_lm_loop(
             p, max_iters, loss_scale, init_lambda, init_dec, ftol,

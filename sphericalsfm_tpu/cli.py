@@ -213,6 +213,18 @@ def cmd_solver_bench(args):
     from .eval.synthetic import make_random_problems
     from .solvers import solve_spherical_3pt
 
+    if args.artifacts:
+        from .eval.experiments import solver_artifacts
+
+        paths = solver_artifacts(
+            args.artifacts, trials=args.trials,
+            stability_trials=args.trials * 5,
+            ransac_trials=max(args.trials // 10, 8),
+            disambiguate=args.disambiguate,
+        )
+        print(json.dumps({"artifacts": paths}, indent=2))
+        return
+
     rows = []
     fsolve = jax.jit(solve_spherical_3pt)
     for noise in [0.0, 0.5, 1.0, 2.0, 5.0, 10.0]:
@@ -302,6 +314,13 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=1000)
     p.add_argument("--rotation", type=float, default=-1.0)
     p.add_argument("--inward", action="store_true")
+    p.add_argument("--artifacts", default=None, metavar="DIR",
+                   help="write the full CSV+figure artifact set to DIR "
+                        "(noise curves, stability KDE, RANSAC box plots)")
+    p.add_argument("--disambiguate", action="store_true",
+                   help="score solvers after all-point Sampson "
+                        "disambiguation + cheirality decomposition "
+                        "(reference test_random_problems -disambiguate)")
     p.set_defaults(fn=cmd_solver_bench)
 
     args = ap.parse_args(argv)

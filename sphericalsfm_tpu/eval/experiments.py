@@ -158,12 +158,80 @@ def ransac_experiment(
     return rows[0]
 
 
+def _solver_specs():
+    """The comparison solver columns: name -> (jitted batched solver over
+    (B, 8, 3) correspondences returning candidate Es + valid, spherical?)."""
+    from ..solvers.eight_point import solve_essential_8pt
+    from ..solvers.five_point import solve_essential_5pt
+    from ..solvers.seven_point import solve_essential_7pt
+
+    def _wrap8(u, v):
+        Es, valid = solve_essential_8pt(u, v)
+        return Es[:, None], valid[:, None]
+
+    return {
+        "spherical_3pt": (jax.jit(lambda u, v: solve_spherical_3pt(u[:, :3], v[:, :3])), True),
+        "general_5pt": (jax.jit(lambda u, v: solve_essential_5pt(u[:, :5], v[:, :5])), False),
+        "sevenpt": (jax.jit(lambda u, v: solve_essential_7pt(u[:, :7], v[:, :7])), False),
+        "normalized_8pt": (jax.jit(_wrap8), False),
+    }
+
+
+def _scored_errors(Es, valid, prob, spherical, inward=False,
+                   disambiguate=False):
+    """Per-trial (frob, rot_deg, trans_deg, ok) for one solver's candidates.
+
+    `disambiguate=False`: min-over-candidates frob, rot/trans of the
+    best-frob candidate (the flattering scoring — reference
+    test_random_problems.cpp default branch).
+
+    `disambiguate=True` (reference -disambiguate,
+    test_random_problems.cpp:44-71): the candidate with the lowest TOTAL
+    Sampson error over all correspondences is chosen, decomposed with
+    cheirality voting over all points, and that single solution is scored —
+    the honest comparison for multi-root solvers.
+    """
+    from ..geometry.essential import (
+        decompose_spherical_essential_cheirality,
+    )
+    from ..ransac.spherical import sampson_error
+    from ..solvers.five_point import cheirality_best, decompose_essential
+
+    ok = np.asarray(jnp.all(prob.valid, -1))
+    if not disambiguate:
+        frob, rot, trans, _ = _best_errors(Es, valid, prob)
+        return frob, rot, trans, ok
+
+    samp = sampson_error(Es, prob.u[:, None], prob.v[:, None])  # (B, M, N)
+    samp = jnp.sum(samp * prob.valid[:, None].astype(samp.dtype), axis=-1)
+    total = jnp.where(valid & jnp.isfinite(samp), samp, jnp.inf)
+    # trials with no usable candidate (all roots invalid/non-finite) are
+    # excluded from the medians, like the reference's isinf filtering
+    # (make_noise_plots.py get()).
+    ok = ok & np.asarray(jnp.any(jnp.isfinite(total), axis=-1))
+    best = jnp.argmin(total, axis=-1)
+    E_best = jnp.take_along_axis(Es, best[:, None, None, None], 1)[:, 0]
+    frob = np.asarray(frobenius_error(E_best, prob.E))
+    if spherical:
+        r, t = decompose_spherical_essential_cheirality(
+            E_best, prob.u, prob.v, prob.valid, inward=inward
+        )
+        R = so3_exp(r)
+    else:
+        Rs, ts = decompose_essential(E_best)
+        R, t, _ = cheirality_best(Rs, ts, prob.u, prob.v, prob.valid)
+    rot = np.asarray(rotation_error_deg(R, prob.R))
+    trans = np.asarray(translation_angle_deg(t, prob.t))
+    return frob, rot, trans, ok
+
+
 def relpose_comparison(
     out_csv: str,
     angles_deg=(0.5, 1.0, 2.0, 5.0, 10.0),
     noises_px=(0.0, 1.0, 2.0),
     trials: int = 1000,
     seed: int = 5,
+    disambiguate: bool = False,
 ):
     """Spherical 3-pt vs general 5-pt accuracy over an angle × noise grid —
     the reference's test_spherical_relpose comparison benchmark
@@ -172,15 +240,12 @@ def relpose_comparison(
     The 5-pt eig path prefers a CPU backend (auto-dispatches a QR
     eigensolver elsewhere); the 7-pt (det-cubic) and 8-pt (DLT) baselines
     match the reference's `sevenpt`/`eightpt` comparison columns
-    (test_spherical_relpose.cpp:596-631)."""
-    from ..solvers.eight_point import solve_essential_8pt
-    from ..solvers.five_point import solve_essential_5pt
-    from ..solvers.seven_point import solve_essential_7pt
-
-    solve3 = jax.jit(solve_spherical_3pt)
-    solve5 = jax.jit(solve_essential_5pt)
-    solve7 = jax.jit(solve_essential_7pt)
-    solve8 = jax.jit(solve_essential_8pt)
+    (test_spherical_relpose.cpp:596-631). `disambiguate` switches from
+    min-over-candidates scoring to all-point Sampson disambiguation +
+    cheirality decomposition (reference -disambiguate mode,
+    test_random_problems.cpp:44-71), adding rotation/translation columns.
+    """
+    specs = _solver_specs()
     rows = []
     for a_i, angle in enumerate(angles_deg):
         for n_i, noise in enumerate(noises_px):
@@ -188,33 +253,198 @@ def relpose_comparison(
                 jax.random.PRNGKey(seed + 100 * a_i + n_i), batch=trials,
                 num_corr=8, rotation_deg=angle, point_noise=noise / FOCAL,
             )
-            ok = np.asarray(jnp.all(prob.valid, -1))
-
-            Es3, v3 = solve3(prob.u[:, :3], prob.v[:, :3])
-            f3 = jnp.where(v3, frobenius_error(Es3, prob.E[:, None]), jnp.inf)
-            med3 = float(np.median(np.asarray(jnp.min(f3, -1))[ok]))
-
-            Es5, v5 = solve5(prob.u[:, :5], prob.v[:, :5])
-            f5 = jnp.where(v5, frobenius_error(Es5, prob.E[:, None]), jnp.inf)
-            med5 = float(np.median(np.asarray(jnp.min(f5, -1))[ok]))
-
-            Es7, v7 = solve7(prob.u[:, :7], prob.v[:, :7])
-            f7 = jnp.where(v7, frobenius_error(Es7, prob.E[:, None]), jnp.inf)
-            med7 = float(np.median(np.asarray(jnp.min(f7, -1))[ok]))
-
-            Es8, v8 = solve8(prob.u, prob.v)
-            f8 = jnp.where(v8, frobenius_error(Es8, prob.E), jnp.inf)
-            med8 = float(np.median(np.asarray(f8)[ok]))
-
-            rows.append({
-                "rotation_deg": angle, "noise_px": noise,
-                "median_frob_spherical_3pt": med3,
-                "median_frob_general_5pt": med5,
-                "median_frob_sevenpt": med7,
-                "median_frob_normalized_8pt": med8,
-            })
+            row = {"rotation_deg": angle, "noise_px": noise}
+            for name, (solve, spherical) in specs.items():
+                Es, valid = solve(prob.u, prob.v)
+                frob, rot, trans, ok = _scored_errors(
+                    Es, valid, prob, spherical, disambiguate=disambiguate
+                )
+                row[f"median_frob_{name}"] = float(np.median(frob[ok]))
+                if disambiguate:
+                    row[f"median_rot_deg_{name}"] = float(np.median(rot[ok]))
+                    row[f"median_trans_deg_{name}"] = float(np.median(trans[ok]))
+            rows.append(row)
     _write_csv(out_csv, rows)
     return rows
+
+
+def noise_comparison(
+    out_csv: str,
+    out_plots_dir: str | None = None,
+    noises_px=(0.0, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0),
+    trials: int = 2000,
+    rotation_deg: float = -1.0,
+    inward: bool = False,
+    disambiguate: bool = False,
+    seed: int = 7,
+):
+    """Multi-solver noise-response sweep with figure artifacts.
+
+    The reference's run_noise_experiment + make_noise_plots pipeline
+    (evaluation/scripts/make_noise_plots.py:37-60): per-solver median
+    frob/rot/trans curves vs pixel noise, plus per-solver box plots of the
+    full error distributions. Writes a CSV of medians and, when
+    `out_plots_dir` is given, the PNG figure set.
+    """
+    from .plots import plot_noise_boxes, plot_noise_curves
+
+    specs = _solver_specs()
+    samples = {
+        name: {"frob": [], "rot": [], "trans": []} for name in specs
+    }
+    rows = []
+    for n_i, noise in enumerate(noises_px):
+        prob = make_random_problems(
+            jax.random.PRNGKey(seed + n_i), batch=trials, num_corr=8,
+            rotation_deg=rotation_deg, inward=inward,
+            point_noise=noise / FOCAL,
+        )
+        row = {"noise_px": noise}
+        for name, (solve, spherical) in specs.items():
+            Es, valid = solve(prob.u, prob.v)
+            frob, rot, trans, ok = _scored_errors(
+                Es, valid, prob, spherical, inward=inward,
+                disambiguate=disambiguate,
+            )
+            samples[name]["frob"].append(frob[ok])
+            samples[name]["rot"].append(rot[ok])
+            samples[name]["trans"].append(trans[ok])
+            row[f"median_frob_{name}"] = float(np.median(frob[ok]))
+            row[f"median_rot_deg_{name}"] = float(np.median(rot[ok]))
+            row[f"median_trans_deg_{name}"] = float(np.median(trans[ok]))
+        rows.append(row)
+    _write_csv(out_csv, rows)
+    paths = []
+    if out_plots_dir is not None:
+        paths += plot_noise_curves(noises_px, samples, out_plots_dir)
+        paths += plot_noise_boxes(noises_px, samples, out_plots_dir)
+    return rows, paths
+
+
+def stability_comparison(
+    out_csv: str,
+    out_png: str | None = None,
+    trials: int = 10000,
+    seed: int = 8,
+):
+    """Zero-noise stability distributions for every comparison solver, with
+    the KDE figure (reference run_stability_experiment.py:62-83). Writes a
+    CSV of per-solver median/q95 log10 Frobenius error."""
+    from .plots import plot_stability_kde
+
+    specs = _solver_specs()
+    prob = make_random_problems(
+        jax.random.PRNGKey(seed), batch=trials, num_corr=8, rotation_deg=-1.0
+    )
+    log10 = {}
+    rows = []
+    for name, (solve, spherical) in specs.items():
+        Es, valid = solve(prob.u, prob.v)
+        frob, _, _, ok = _scored_errors(Es, valid, prob, spherical)
+        vals = np.log10(np.maximum(frob[ok], 1e-300))
+        log10[name] = vals
+        rows.append({
+            "solver": name,
+            "median_log10_frob": float(np.median(vals)),
+            "q95_log10_frob": float(np.quantile(vals, 0.95)),
+        })
+    _write_csv(out_csv, rows)
+    path = plot_stability_kde(log10, out_png) if out_png else None
+    return rows, path
+
+
+def ransac_comparison(
+    out_csv: str,
+    out_plots_dir: str | None = None,
+    trials: int = 200,
+    num_corr: int = 100,
+    rotation_deg: float = 2.0,
+    noise_px: float = 1.0,
+    outlier_frac: float = 0.25,
+    num_hypotheses: int = 512,
+    seed: int = 9,
+):
+    """Full-RANSAC error box plots: static breadth-first vs adaptive
+    round-based termination on the same contaminated problems (the
+    reference's make_ransac_plots.py:39-62 figure role, with this package's
+    two engine modes as the columns — quantifying what the adaptive
+    termination trades for its speedup)."""
+    from ..ransac.spherical import spherical_ransac_adaptive
+    from .plots import plot_ransac_boxes
+
+    prob = make_random_problems(
+        jax.random.PRNGKey(seed), batch=trials, num_corr=num_corr,
+        rotation_deg=rotation_deg, point_noise=noise_px / FOCAL,
+    )
+    v = prob.v
+    if outlier_frac > 0:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+        is_out = jax.random.uniform(k1, prob.u.shape[:-1]) < outlier_frac
+        junk = jax.random.normal(k2, v.shape) * 0.5
+        junk = junk.at[..., 2].set(1.0)
+        v = jnp.where(is_out[..., None], junk, v)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 2), trials)
+    sq_thresh = jnp.asarray((2.0 / FOCAL) ** 2)
+
+    run_static = jax.jit(jax.vmap(
+        lambda k, uu, vv, mm: spherical_ransac(
+            k, uu, vv, mm, sq_thresh=sq_thresh,
+            num_hypotheses=num_hypotheses,
+        )
+    ))
+    run_adaptive = jax.jit(jax.vmap(
+        lambda k, uu, vv, mm: spherical_ransac_adaptive(
+            k, uu, vv, mm, sq_thresh=sq_thresh,
+            round_size=128, max_rounds=num_hypotheses // 128,
+        )
+    ))
+    samples = {}
+    rows = []
+    for name, run in (("static", run_static), ("adaptive", run_adaptive)):
+        res = run(keys, prob.u, v, prob.valid)
+        rot = np.asarray(rotation_error_deg(so3_exp(res.r), prob.R))
+        trans = np.asarray(translation_angle_deg(res.t, prob.t))
+        frob = np.asarray(frobenius_error(res.E, prob.E))
+        samples[name] = {"rot": rot, "trans": trans, "frob": frob}
+        rows.append({
+            "method": name,
+            "noise_px": noise_px, "outlier_frac": outlier_frac,
+            "median_rot_deg": float(np.median(rot)),
+            "median_trans_deg": float(np.median(trans)),
+            "median_frob": float(np.median(frob)),
+            "mean_inliers": float(np.mean(np.asarray(res.num_inliers))),
+        })
+    _write_csv(out_csv, rows)
+    paths = plot_ransac_boxes(samples, out_plots_dir) if out_plots_dir else []
+    return rows, paths
+
+
+def solver_artifacts(
+    out_dir: str,
+    trials: int = 2000,
+    stability_trials: int = 10000,
+    ransac_trials: int = 200,
+    noises_px=(0.0, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0),
+    disambiguate: bool = False,
+):
+    """Render the full evaluation artifact set (CSVs + PNG figures) into
+    `out_dir` — the package's equivalent of running every script under the
+    reference's evaluation/scripts/ directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    fig_dir = os.path.join(out_dir, "figures")
+    _, p1 = noise_comparison(
+        os.path.join(out_dir, "noise_comparison.csv"), fig_dir,
+        noises_px=noises_px, trials=trials, disambiguate=disambiguate,
+    )
+    _, p2 = stability_comparison(
+        os.path.join(out_dir, "stability.csv"),
+        os.path.join(fig_dir, "stability_frob.png"),
+        trials=stability_trials,
+    )
+    _, p3 = ransac_comparison(
+        os.path.join(out_dir, "ransac.csv"), fig_dir, trials=ransac_trials,
+    )
+    return p1 + [p2] + p3
 
 
 def _write_csv(path: str, rows):

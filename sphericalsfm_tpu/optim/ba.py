@@ -957,38 +957,87 @@ def bundle_adjust(
 
     Semantics match SfM::Optimize (sfm.cpp:228-290): Cauchy(1.0) loss,
     frozen-parameter masks, trust-region LM. `camera_solver` picks the Schur
-    camera solve: "dense" (exact (6C+1)² Cholesky), "pcg" (matrix-free
-    block-Jacobi CG — scales past the dense wall, the Ceres SPARSE_SCHUR
-    analogue), or "auto" (pcg above 512 cameras). `pcg_coarse` > 0 adds an
+    camera solve: "dense" (exact (6C+1)² Cholesky, one-hot-scan assembly),
+    "dense_pairs" (same exact solve, O(ΣT²) observation-pair assembly for
+    long-track maps), "pcg" (matrix-free block-Jacobi CG — scales past the
+    dense wall, the Ceres SPARSE_SCHUR analogue), or "auto" (pcg above 512
+    cameras; below that the faster of the two exact assemblies by predicted
+    cost — scan ∝ P·Tmax·C on the MXU vs pairs ∝ ΣT² gather-bound). `pcg_coarse` > 0 adds an
     aggregated coarse-grid level to the preconditioner (off by default:
     with the 25-iteration inexact-Newton cap the Galerkin setup cost per LM
     iteration outweighs the CG iterations it saves — 2000-cam ring: 1.77
     iters/s coarse-off vs 1.62 coarse-on at equal-or-better reached cost).
     """
+    p, camera_solver = prepare_problem(p, camera_solver, pcg_coarse)
+    return _bundle_adjust_jit(
+        p, max_iters=max_iters, loss_scale=loss_scale,
+        init_lambda=init_lambda, init_dec=init_dec, ftol=ftol,
+        solve_dtype_name=solve_dtype_name, camera_solver=camera_solver,
+        pcg_iters=pcg_iters, pcg_rtol=pcg_rtol, pcg_coarse=pcg_coarse,
+        matmul_precision=matmul_precision,
+    )
+
+
+def prepare_problem(
+    p: BAProblem, camera_solver: str = "auto", pcg_coarse: int = 0
+) -> tuple[BAProblem, str]:
+    """Host-side problem prep shared by the single-chip and distributed
+    entry points: resolve the "auto" camera solver, sort/index the
+    observation table, build pair tables, and drop the track table when the
+    chosen solver never reads it. Must run BEFORE any mesh layout
+    (`parallel.sharded.shard_ba_problem`) — it fetches arrays to the host.
+    """
     C = p.cam_t.shape[0]
+    pick_dense_flavor = False
     if camera_solver == "auto":
         # The exact dense solve wins well past the old 160-camera cutoff:
         # at C=256 it runs 3× faster per LM iteration than the best PCG
         # forcing and converges slightly lower; at C=512 they tie on speed
         # and dense still wins on cost (scripts/bench_ba_forcing.py, TPU
         # v5e). Past ~512 the (C,C,6,6) reduced system's memory and O(C³)
-        # factorization take over — switch to the matrix-free PCG. Above
-        # ~32 cameras the dense assembly uses the O(ΣT²) observation-pair
-        # fill instead of the (chunk, T, C) one-hot scan.
+        # factorization take over — switch to the matrix-free PCG. Which
+        # dense ASSEMBLY wins is workload-dependent and decided below once
+        # the pair count is known.
         if C > 512:
             camera_solver = "pcg"
         elif C > 32:
-            camera_solver = "dense_pairs"
+            pick_dense_flavor = True
         else:
             camera_solver = "dense"
-    if camera_solver in ("pcg", "dense_pairs") and (
+    if (camera_solver in ("pcg", "dense_pairs") or pick_dense_flavor) and (
         p.cam_ptr is None or p.pt_ptr is None
     ):
         p = sort_obs_by_camera(p)
-    if camera_solver == "dense_pairs":
+    if pick_dense_flavor:
+        # Two exact dense assemblies with opposite scaling: the one-hot
+        # track-table scan is MXU work ∝ P·Tmax·C (ruinous when a video
+        # map pairs 256-long tracks with hundreds of cameras), while the
+        # observation-pair fill is GATHER-bound work ∝ ΣT² (three random
+        # 18/9-float gathers per pair — measured ~40× the per-element cost
+        # of the scan's one-hot contractions on v5e, scripts/
+        # profile_ba_pieces.py: scan 13.4 ms at 6.7M elements vs pairs
+        # fill 18.4 ms at 0.26M pairs on the 64-cam bench map, same
+        # converged cost). Pick by predicted cost; the scan additionally
+        # requires a COMPLETE track table (a truncated one silently drops
+        # observations from the point blocks only).
+        import numpy as np
+
+        n_live = int(np.count_nonzero(np.asarray(p.obs_w) > 0))
+        tracked = (
+            np.asarray(p.track_mask)
+            & (np.asarray(p.obs_w)[np.asarray(p.track_obs)] > 0)
+        )
+        track_complete = int(np.count_nonzero(tracked)) >= n_live
+        scan_elems = p.points.shape[0] * p.track_obs.shape[1] * C
+        npairs = count_cc_pairs(p)
+        if track_complete and scan_elems < 40 * max(npairs, 1):
+            camera_solver = "dense"
+        else:
+            camera_solver = "dense_pairs"
+    if camera_solver == "dense_pairs" and p.cc_ptr is None:
         if count_cc_pairs(p) > 32_000_000:  # degenerate mega-track maps
             camera_solver = "pcg"
-        elif p.cc_ptr is None:
+        else:
             p = build_cc_pairs(p)
     if camera_solver == "dense_pairs" or (
         camera_solver == "pcg" and pcg_coarse == 0
@@ -1002,13 +1051,7 @@ def bundle_adjust(
                 track_obs=jnp.zeros((Pn, 1), jnp.int32),
                 track_mask=jnp.zeros((Pn, 1), bool),
             )
-    return _bundle_adjust_jit(
-        p, max_iters=max_iters, loss_scale=loss_scale,
-        init_lambda=init_lambda, init_dec=init_dec, ftol=ftol,
-        solve_dtype_name=solve_dtype_name, camera_solver=camera_solver,
-        pcg_iters=pcg_iters, pcg_rtol=pcg_rtol, pcg_coarse=pcg_coarse,
-        matmul_precision=matmul_precision,
-    )
+    return p, camera_solver
 
 
 def bundle_adjust_checkpointed(

@@ -161,6 +161,18 @@ def shard_ba_problem(mesh: Mesh, p: BAProblem) -> BAProblem:
         pt_ptr=(
             None if p.pt_ptr is None else jax.device_put(p.pt_ptr, rep)
         ),
+        # dense_pairs tables: the pair axis shards like the observations it
+        # indexes (GSPMD turns the U/Hpp_inv gathers into cross-shard
+        # collectives); the C²+1 segment bounds replicate like cam_ptr.
+        cc_pair_a=(
+            None if p.cc_pair_a is None else jax.device_put(p.cc_pair_a, sh)
+        ),
+        cc_pair_b=(
+            None if p.cc_pair_b is None else jax.device_put(p.cc_pair_b, sh)
+        ),
+        cc_ptr=(
+            None if p.cc_ptr is None else jax.device_put(p.cc_ptr, rep)
+        ),
     )
 
 
@@ -178,11 +190,15 @@ def distributed_bundle_adjust(
     cross-shard reductions (XLA inserts the psum) and solved replicated —
     dense Cholesky or (camera_solver="pcg") the matrix-free CG solve, whose
     per-iteration segment sums and gathers also partition along `data`.
+    "dense_pairs" shards the observation-pair tables the same way (the pair
+    gathers become cross-shard collectives), and "auto" resolves host-side
+    exactly like the single-chip entry point before layout.
     """
-    from ..optim.ba import bundle_adjust, sort_obs_by_camera
+    from ..optim.ba import bundle_adjust, prepare_problem
 
-    if camera_solver == "pcg" and (p.cam_ptr is None or p.pt_ptr is None):
-        p = sort_obs_by_camera(p)  # host-side sort before laying out shards
+    # Resolve "auto" and build sort/pair indices on the host FIRST — the
+    # prep fetches arrays, so it must not run on an already-sharded problem.
+    p, camera_solver = prepare_problem(p, camera_solver)
     p_sharded = shard_ba_problem(mesh, p)
     with mesh:
         return bundle_adjust(

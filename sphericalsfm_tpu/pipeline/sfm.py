@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 from ..geometry.pose import Intrinsics
 from ..geometry.so3 import np_so3_exp, np_so3_log
-from ..optim.ba import BAProblem, bundle_adjust, build_tracks
+from ..optim.ba import (
+    BAProblem, bundle_adjust, build_tracks, prepare_problem,
+)
 from ..ransac.triangulation import triangulation_ransac
 from .tracks import Tracks
 
@@ -255,29 +257,34 @@ class SfMMap:
             widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, widths, constant_values=fill)
 
+        # Host(numpy)-backed problem: `prepare_problem` (solver choice, sort,
+        # pair tables) then runs entirely host-side with ZERO device
+        # fetches — prepping an already-uploaded problem costs ~180 ms of
+        # tunnel roundtrips per bundle_adjust call on the axon chip. The
+        # arrays upload once, at the jitted LM call.
         prob = BAProblem(
-            focal=jnp.asarray(float(np.asarray(self.intrinsics.focal))),
-            cam_t=jnp.asarray(padn(self.cam_t, Cp)),
-            cam_r=jnp.asarray(padn(self.cam_r, Cp)),
-            points=jnp.asarray(padn(self.points, Pp)),
-            obs_cam=jnp.asarray(padn(self.obs_cam, Kp)),
-            obs_pt=jnp.asarray(padn(self.obs_pt, Kp, fill=P)),
-            obs_uv=jnp.asarray(padn(self.obs_uv, Kp)),
-            obs_w=jnp.asarray(padn(w, Kp)),
-            track_obs=jnp.asarray(padn(track_obs, Pp)),
-            track_mask=jnp.asarray(padn(track_mask, Pp, fill=False)),
-            focal_fixed=jnp.asarray(self.focal_fixed),
-            rot_fixed=jnp.asarray(padn(self.rotation_fixed, Cp, fill=True)),
-            trans_fixed=jnp.asarray(padn(self.translation_fixed, Cp,
-                                         fill=True)),
-            point_fixed=jnp.asarray(padn(self.point_fixed | ~usable_pt, Pp,
-                                         fill=True)),
+            focal=np.asarray(float(np.asarray(self.intrinsics.focal))),
+            cam_t=padn(self.cam_t, Cp),
+            cam_r=padn(self.cam_r, Cp),
+            points=padn(self.points, Pp),
+            obs_cam=padn(self.obs_cam, Kp),
+            obs_pt=padn(self.obs_pt, Kp, fill=P),
+            obs_uv=padn(self.obs_uv, Kp),
+            obs_w=padn(w, Kp),
+            track_obs=padn(track_obs, Pp),
+            track_mask=padn(track_mask, Pp, fill=False),
+            focal_fixed=np.asarray(self.focal_fixed),
+            rot_fixed=padn(self.rotation_fixed, Cp, fill=True),
+            trans_fixed=padn(self.translation_fixed, Cp, fill=True),
+            point_fixed=padn(self.point_fixed | ~usable_pt, Pp, fill=True),
         )
+        prob, solver = prepare_problem(prob)
         _t1 = _time.perf_counter()
         res = bundle_adjust(prob, max_iters=max_iters,
                             loss_scale=loss_scale,
                             solve_dtype_name=solve_dtype, ftol=ftol,
-                            pcg_rtol=pcg_rtol, pcg_iters=pcg_iters)
+                            pcg_rtol=pcg_rtol, pcg_iters=pcg_iters,
+                            camera_solver=solver)
         # ONE host fetch for everything (each separate np.asarray would pay
         # the tunnel's fixed per-fetch roundtrip).
         cam_t, cam_r, upd, focal, cost, c0, iters = jax.device_get(

@@ -85,6 +85,8 @@ class PipelineConfig:
     general_ba: bool = False           # unfix translations at the end
     five_point: bool = False           # -fivepoint: general 5-pt pairwise
     profile_dir: str | None = None     # jax.profiler trace output
+    debug_reprojection: bool = False   # write reproj%06d.jpg overlays
+    #   (reference show_reprojection_error, spherical_sfm_tools.cpp:957-1005)
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     ransac: RansacConfig = field(default_factory=RansacConfig)
     graph: GraphConfig = field(default_factory=GraphConfig)

@@ -288,6 +288,7 @@ def run_calibrated(
             **{f"ba4_{k}": v for k, v in stats4.items()})
 
     _write_outputs(m, output_dir, fr)
+    _maybe_write_reproj_overlays(m, cfg, output_dir, video, gray)
     if cfg.profile_dir:
         jax.profiler.stop_trace()
     return m
@@ -519,10 +520,29 @@ def run_uncalibrated(
 
     m.write_colmap(os.path.join(output_dir, "sparse", "final"), W, H)
     _write_outputs(m, output_dir, fr)
+    _maybe_write_reproj_overlays(m, cfg, output_dir, video, gray)
     with open(os.path.join(output_dir, "calib.txt"), "w") as f:
         focal_out = float(np.asarray(m.intrinsics.focal))
         f.write(f"{focal_out} {W / 2.0} {H / 2.0}\n")
     return m, float(np.asarray(m.intrinsics.focal))
+
+
+def _maybe_write_reproj_overlays(m: SfMMap, cfg, output_dir: str,
+                                 video, gray):
+    """Observed-vs-reprojected overlay JPEGs behind cfg.debug_reprojection
+    (reference show_reprojection_error, spherical_sfm_tools.cpp:957-1005)."""
+    if not cfg.debug_reprojection:
+        return
+    from .debug import write_reprojection_overlays
+
+    if gray is None and video is not None:
+        gray, _ = load_frames(video, stride=cfg.frontend.frame_stride)
+    if gray is None:
+        print("warning: debug_reprojection set but no frames available")
+        return
+    n = write_reprojection_overlays(
+        m, gray, os.path.join(output_dir, "reproj"))
+    print(f"wrote {n} reprojection overlays to {output_dir}/reproj")
 
 
 def _write_outputs(m: SfMMap, output_dir: str, fr: FrontendResult):

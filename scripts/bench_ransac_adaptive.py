@@ -96,27 +96,27 @@ def main():
         u, v, m, R_gt, keys = make_data(frac)
         configs = [("static512", lambda k, uu, vv, mm: spherical_ransac(
             k, uu, vv, mm, sq_thresh=sq, num_hypotheses=HYPOTHESES))]
-        for min_r, lo, nm, ref in (
-            (1, 0, 9, 25), (1, 2, 21, 25),
+        for tag, rs, min_r, lo in (
+            ("default(128x4)", 128, 1, 2),
+            ("min2", 128, 2, 2),
+            ("rounds256x2", 256, 1, 2),
         ):
             configs.append((
-                f"adapt(lo={lo},nm={nm},ref={ref})",
-                lambda k, uu, vv, mm, min_r=min_r, lo=lo, nm=nm, ref=ref:
+                f"adapt[{tag}]",
+                lambda k, uu, vv, mm, rs=rs, min_r=min_r, lo=lo:
                 spherical_ransac_adaptive(
-                    k, uu, vv, mm, sq_thresh=sq, round_size=128,
-                    max_rounds=HYPOTHESES // 128, min_rounds=min_r,
-                    lo_rounds=lo, nonminimal_size=nm, refine_iters=ref,
+                    k, uu, vv, mm, sq_thresh=sq, round_size=rs,
+                    max_rounds=HYPOTHESES // rs, min_rounds=min_r,
+                    lo_rounds=lo,
                 ),
             ))
         for name, fn in configs:
-            for prec in (None, "highest"):
-                pps, res = bench(fn, accel, u, v, m, keys, precision=prec)
-                errs = rot_err_deg_np(np.asarray(res.r, np.float64),
-                                      np.asarray(R_gt, np.float64))
-                tag = f"{name}@{prec or 'default'}"
-                print(f"outliers={frac:.1f} {tag:34s} {pps:8.1f} pairs/s  "
-                      f"median_rot={np.median(errs):.4f} deg  "
-                      f"p90={np.quantile(errs, 0.9):.4f}", flush=True)
+            pps, res = bench(fn, accel, u, v, m, keys)
+            errs = rot_err_deg_np(np.asarray(res.r, np.float64),
+                                  np.asarray(R_gt, np.float64))
+            print(f"outliers={frac:.1f} {name:24s} {pps:8.1f} pairs/s  "
+                  f"median_rot={np.median(errs):.4f} deg  "
+                  f"p90={np.quantile(errs, 0.9):.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,7 @@ def cmd_uncalibrated(args):
     cfg = _config_from_args(args)
     cfg.general_ba = args.generalba
     cfg.five_point = args.fivepoint
+    cfg.six_point = args.sixpoint
     m, focal = run_uncalibrated(
         args.images, args.output, cfg, colmap_db=args.colmap
     )
@@ -265,6 +266,10 @@ def main(argv=None):
     p.add_argument("--generalba", action="store_true")
     p.add_argument("--fivepoint", action="store_true",
                    help="use the general 5-pt pairwise estimator")
+    p.add_argument("--sixpoint", action="store_true",
+                   help="estimate the shared focal by 6-pt joint (E, f) "
+                        "RANSAC on strong pairs instead of the focal "
+                        "search sweep")
     _add_common(p)
     p.set_defaults(fn=cmd_uncalibrated)
 

@@ -84,6 +84,9 @@ class PipelineConfig:
     inward: bool = False
     general_ba: bool = False           # unfix translations at the end
     five_point: bool = False           # -fivepoint: general 5-pt pairwise
+    six_point: bool = False            # --sixpoint: shared-focal 6-pt RANSAC
+    #   replaces the focal search (reference built SixPointEstimator but
+    #   never wired it — six_point_estimator.h:15-37)
     profile_dir: str | None = None     # jax.profiler trace output
     debug_reprojection: bool = False   # write reproj%06d.jpg overlays
     #   (reference show_reprojection_error, spherical_sfm_tools.cpp:957-1005)

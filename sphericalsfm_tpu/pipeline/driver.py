@@ -426,7 +426,28 @@ def run_uncalibrated(
     )
     # Strategy dispatch (reference find_best_focal_length_{random,grid,opt},
     # spherical_sfm_tools.cpp:1191-1496; the reference driver uses random).
-    if cfg.focal.strategy == "grid":
+    if cfg.six_point:
+        # --sixpoint: consensus shared focal straight from the strongest
+        # pairs via joint (E, f) RANSAC — skips the sweep entirely. The
+        # reference built its SixPointEstimator but never called it
+        # (six_point_estimator.h:15-37); here it is a live mode. The joint
+        # rotations+focal refinement below still polishes the estimate.
+        from ..ransac.sixpoint import estimate_focal_sixpoint
+
+        best_focal, sp_info = estimate_focal_sixpoint(
+            jax.random.fold_in(key, 11), fr.feats.xy, fr.pair_i, fr.pair_j,
+            fr.idx0, fr.idx1, fr.mmask & keep[:, None],
+            pair_weight=np.where(keep, pw.num_inliers, 0),
+            focal_guess=focal_guess,
+            width=float(fr.feats.width), height=float(fr.feats.height),
+            inlier_threshold_px=cfg.ransac.inlier_threshold_px,
+            min_focal_factor=cfg.focal.min_focal_factor,
+            max_focal_factor=cfg.focal.max_focal_factor,
+        )
+        if sp_info.get("pairs_used", 0) == 0:
+            print("warning: sixpoint found no usable pairs; "
+                  "keeping the focal guess")
+    elif cfg.focal.strategy == "grid":
         best_focal, costs, focals = find_best_focal_grid(
             focal_guess, *search_args, num_steps=cfg.focal.grid_steps,
             cost=cfg.focal.cost, **search_kw,
@@ -444,7 +465,7 @@ def run_uncalibrated(
             jax.random.fold_in(key, 10), focal_guess, *search_args,
             num_trials=cfg.focal.num_trials, **search_kw,
         )
-    if cfg.focal.strategy in ("grid", "random"):
+    if cfg.focal.strategy in ("grid", "random") and not cfg.six_point:
         # Debug artifact mirroring the reference's costs.txt dump
         # (spherical_sfm_tools.cpp:1358-1404): one "focal cost" row per
         # hypothesis, sorted by focal.
@@ -471,7 +492,8 @@ def run_uncalibrated(
     )
     focal = float(best_focal) * float(fmult)
     log.end(best_search_focal=float(best_focal), focal=focal,
-            cost=float(pg_cost))
+            cost=float(pg_cost),
+            **({"sixpoint": sp_info} if cfg.six_point else {}))
 
     intr = Intrinsics(jnp.asarray(focal), jnp.asarray(W / 2.0),
                       jnp.asarray(H / 2.0))

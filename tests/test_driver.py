@@ -205,6 +205,36 @@ def test_uncalibrated_five_point_mode(tmp_path_factory):
     assert abs(focal - FOCAL) / FOCAL < 0.15, focal
 
 
+def test_uncalibrated_sixpoint_mode(tmp_path_factory):
+    """--sixpoint: shared-focal 6-pt joint (E, f) RANSAC replaces the focal
+    search sweep (the reference's never-wired SixPointEstimator,
+    six_point_estimator.h:15-37, as a live driver mode)."""
+    from sphericalsfm_tpu.config import PipelineConfig
+    from sphericalsfm_tpu.pipeline.driver import run_uncalibrated
+
+    cam_r_gt, cam_t_gt, gray, color = render_capture(num_frames=12, arc=1.0)
+    out = str(tmp_path_factory.mktemp("sfm_6pt_out"))
+    cfg = PipelineConfig()
+    cfg.six_point = True
+    cfg.frontend.max_keypoints = 384
+    cfg.frontend.max_matches_per_pair = 256
+    cfg.ransac.num_hypotheses = 128
+    cfg.ransac.min_num_inliers = 25
+    cfg.ba.max_iters = 40
+
+    m, focal = run_uncalibrated(None, out, cfg, gray=gray, color=color)
+    # 6-pt consensus + joint pose-graph polish + BA; per-pair focal from
+    # small-baseline spherical pairs is noisier than the loop sweep
+    assert abs(focal - FOCAL) / FOCAL < 0.15, focal
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out, "stages.jsonl")) as fh:
+        stages = [_json.loads(line) for line in fh]
+    fs = [s for s in stages if s.get("stage") == "focal_search"]
+    assert fs and fs[-1].get("sixpoint", {}).get("pairs_used", 0) > 0, fs
+
+
 def render_inward_capture(num_frames=16):
     """Object-centric capture: cameras on the unit circle looking at a
     textured radius-0.5 sphere at the origin (inward spherical constraint

@@ -21,3 +21,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import pytest  # noqa: E402
+
+# The driver/panorama/multihost e2e tests dominate the suite's wall time
+# (rendered captures through the full pipeline). They are auto-marked
+# `slow` so `pytest -m "not slow"` is the quick iteration tier; the full
+# pyramid still runs by default.
+_SLOW_MODULES = {
+    "test_driver", "test_panorama", "test_multihost", "test_colmap_driver",
+}
+_SLOW_NAMES = ("pipeline_to_evaluator",)
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        if mod in _SLOW_MODULES or any(s in item.name for s in _SLOW_NAMES):
+            item.add_marker(pytest.mark.slow)

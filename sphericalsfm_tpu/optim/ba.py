@@ -939,6 +939,10 @@ def build_cc_pairs(p: BAProblem) -> BAProblem:
     )
 
 
+# HBM bound on the observation-pair table (see prepare_problem)
+_DENSE_PAIRS_CAP = 5_000_000
+
+
 def bundle_adjust(
     p: BAProblem,
     max_iters: int = 50,
@@ -1035,7 +1039,12 @@ def prepare_problem(
         else:
             camera_solver = "dense_pairs"
     if camera_solver == "dense_pairs" and p.cc_ptr is None:
-        if count_cc_pairs(p) > 32_000_000:  # degenerate mega-track maps
+        # Pair-table memory bound: the fill materializes ~400 B/pair of
+        # gathers + contractions on device (Ua/Ub/Hpi/Mab), so a long-track
+        # video map's ΣT² (measured 15M pairs on the 256-frame bench map)
+        # blows the 16 GB HBM — that exact OOM shipped when the cap was
+        # 32M. Above ~5M pairs the matrix-free PCG is both safe and faster.
+        if count_cc_pairs(p) > _DENSE_PAIRS_CAP:
             camera_solver = "pcg"
         else:
             p = build_cc_pairs(p)

@@ -382,3 +382,33 @@ def test_ba_checkpoint_resume(tmp_path):
                                np.asarray(res_full.points), atol=1e-12)
     # the run actually optimized
     assert float(res_full.cost) < float(res_full.initial_cost) * 0.5
+
+
+def test_auto_dispatch_rules(monkeypatch):
+    """prepare_problem's measured dispatch: scan-dense for short-track maps,
+    pairs for long-track mid-size maps, pcg above the HBM pair cap (the
+    e2e256 video map's 15M-pair table OOM'd a 16 GB chip — r3 regression)."""
+    from sphericalsfm_tpu.optim import ba as _ba
+
+    scene = make_scene(seed=7, C=48, P=96)
+    cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w = scene
+    p = build_problem(cam_r, cam_t, pts, obs_cam, obs_pt, obs_uv, w)
+
+    # short tracks, complete table, few pairs -> the one-hot scan wins
+    p2, solver = _ba.prepare_problem(p, "auto")
+    assert solver == "dense", solver
+
+    # same problem with the pair cap forced tiny -> dense_pairs would have
+    # been chosen if the scan were expensive; force the scan rule off by
+    # truncating the track table (incomplete => scan ineligible)
+    import numpy as np
+    p_trunc = p._replace(track_obs=np.asarray(p.track_obs)[:, :1],
+                         track_mask=np.asarray(p.track_mask)[:, :1])
+    p3, solver3 = _ba.prepare_problem(p_trunc, "auto")
+    assert solver3 == "dense_pairs", solver3
+    assert p3.cc_ptr is not None
+
+    # above the HBM pair cap the exact solvers must give way to pcg
+    monkeypatch.setattr(_ba, "_DENSE_PAIRS_CAP", 1)
+    p4, solver4 = _ba.prepare_problem(p_trunc, "auto")
+    assert solver4 == "pcg", solver4

@@ -14,7 +14,13 @@ import json
 import os
 import sys
 
-os.environ.setdefault("SPHERICALSFM_TPU_X64", "1")
+# TPU dtype regime unless explicitly running the CPU/f64 path: the
+# accelerator backend has no f64 linalg, and x64 index dtypes break the
+# Pallas matcher lowering.
+os.environ.setdefault(
+    "SPHERICALSFM_TPU_X64",
+    "1" if "cpu" in os.environ.get("JAX_PLATFORMS", "") else "0",
+)
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 if "cpu" in os.environ.get("JAX_PLATFORMS", ""):

@@ -59,7 +59,10 @@ def _match_kernel(d1_ref, d0_ref, bias0_ref, m1_ref, m2_ref, idx_ref):
     d = 2.0 - 2.0 * ip + bias0_ref[0, pl.ds(j, 1), :]
 
     blk_m1 = jnp.min(d, axis=1)[None, :]
-    blk_arg = jnp.argmin(d, axis=1).astype(jnp.int32)
+    # index_dtype must be int32 explicitly: under jax_enable_x64 argmin
+    # defaults to int64 indices, which the Mosaic lowering rejects
+    # ("Only index_dtype=int32 is supported").
+    blk_arg = jax.lax.argmin(d, axis=1, index_dtype=jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     masked = jnp.where(col == blk_arg[:, None], jnp.inf, d)
     blk_m2 = jnp.min(masked, axis=1)[None, :]

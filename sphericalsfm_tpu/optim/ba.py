@@ -553,13 +553,43 @@ def _schur_solve_dense_pairs(
     rs = _assemble_reduced(e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype)
 
     # --- off-diagonal fill from observation pairs ---
-    Ua = rs.U[p.cc_pair_a]                                # (Np, 6, 3)
-    Ub = rs.U[p.cc_pair_b]
-    Hpi_ab = rs.Hpp_inv[p.obs_pt[p.cc_pair_a]]            # (Np, 3, 3)
-    Mab = jnp.einsum(
-        "nix,nxy,njy->nij", Ua, Hpi_ab, Ub
-    ).reshape(-1, 36)
-    off = _sorted_segment_sum(Mab, p.cc_ptr).reshape(C, C, 6, 6)
+    # Chunked over pairs, with the contraction written as fusable
+    # broadcast-multiply-sums. BOTH choices are memory-critical on TPU: a
+    # single dot_general producing (Np, 6, 6) gets the (8, 128) tile
+    # layout on its trailing dims — a 28.4× padding expansion that turned
+    # a 288 MB pair table into an 8 GB buffer and OOM'd the 16 GB chip on
+    # the 256-frame video map (2M pairs). The VPU form fuses into the
+    # chunk's segment sum with no materialized (·, 6, 6) tensor, and the
+    # scan bounds peak memory to one chunk regardless of fusion decisions.
+    Np_total = p.cc_pair_a.shape[0]
+    chunk = min(Np_total, 1 << 18)
+    n_chunks = -(-Np_total // chunk)  # pair table is padded to a power of 2
+    pa = p.cc_pair_a.reshape(n_chunks, chunk)
+    pb = p.cc_pair_b.reshape(n_chunks, chunk)
+    U = rs.U
+    Hpi = rs.Hpp_inv
+    obs_pt = p.obs_pt
+
+    def pair_chunk(acc, xs):
+        ia, ib, k = xs
+        Ua = U[ia]                                        # (chunk, 6, 3)
+        Ub = U[ib]
+        Hpi_ab = Hpi[obs_pt[ia]]                          # (chunk, 3, 3)
+        tmp = jnp.sum(Ua[:, :, :, None] * Hpi_ab[:, None, :, :], axis=2)
+        Mab = jnp.sum(
+            tmp[:, :, None, :] * Ub[:, None, :, :], axis=3
+        ).reshape(chunk, 36)
+        # segment-sum only this chunk's span of the C² block keys: clipped
+        # pointers make each chunk's partial exact, and partials add.
+        ptr_c = jnp.clip(p.cc_ptr, k * chunk, (k + 1) * chunk) - k * chunk
+        return acc + _sorted_segment_sum(Mab, ptr_c), None
+
+    off_flat, _ = jax.lax.scan(
+        pair_chunk,
+        jnp.zeros((C * C, 36), dtype),
+        (pa, pb, jnp.arange(n_chunks)),
+    )
+    off = off_flat.reshape(C, C, 6, 6)
     # frozen dims: exact zeros (same masking rationale as the diagonal)
     off = off * (rs.free_c[:, None, :, None] * rs.free_c[None, :, None, :])
     S_cc = -(off + jnp.transpose(off, (1, 0, 3, 2)))

@@ -25,6 +25,9 @@ def _add_common(p):
     p.add_argument("--stride", type=int, default=1, help="frame stride")
     p.add_argument("--maxkeypoints", type=int, default=4000)
     p.add_argument("--detector", default="tpu", choices=["tpu", "opencv"])
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the pipeline over a mesh of this many devices "
+                        "(power of two; 0/1 = single-device)")
     p.add_argument("--config", default=None, help="JSON config file")
     p.add_argument("--sequential", dest="sequential", action="store_true",
                    default=True,
@@ -85,6 +88,7 @@ def _config_from_args(args):
     cfg.frontend.frame_stride = args.stride
     cfg.frontend.max_keypoints = args.maxkeypoints
     cfg.frontend.detector = args.detector
+    cfg.devices = args.devices
     for spec in args.overrides:
         _apply_override(cfg, spec)
     return cfg

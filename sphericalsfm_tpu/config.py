@@ -82,6 +82,14 @@ class BAConfig:
 @dataclass
 class PipelineConfig:
     inward: bool = False
+    # Multi-chip execution (SURVEY.md §2.5 P2/P5/P8, §5.8): >1 shards the
+    # pipeline over a jax.sharding.Mesh of this many devices — detection over
+    # the frame axis (shard_map), matching/pairwise RANSAC over the pair
+    # axis, retriangulation over the point axis, and BA observations/points
+    # over the data axis with a psum-reduced camera system. 0/1 runs
+    # single-device. Must be a power of two ≤ 64 so the pipeline's shape
+    # buckets (powers of two / multiples of 8) divide evenly across shards.
+    devices: int = 0
     general_ba: bool = False           # unfix translations at the end
     five_point: bool = False           # -fivepoint: general 5-pt pairwise
     six_point: bool = False            # --sixpoint: shared-focal 6-pt RANSAC

@@ -34,7 +34,60 @@ from ..ransac.spherical import spherical_ransac
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} devices are "
+            f"visible (set XLA_FLAGS=--xla_force_host_platform_device_count "
+            f"for a virtual CPU mesh)"
+        )
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 over the mesh's (single) data axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def put_sharded(mesh: Mesh, *arrays):
+    """device_put each array with axis 0 sharded over the mesh.
+
+    The production chunk dispatchers (pipeline/{frontend,pairwise,sfm}.py)
+    lay their fixed-shape chunk inputs out with this before calling the same
+    module-level jitted kernels the single-device path uses — GSPMD
+    partitions the vmapped per-item work along the data axis (the chunk
+    sizes are multiples of the mesh size by construction).
+    """
+    spec = data_sharding(mesh)
+    out = tuple(jax.device_put(a, spec) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_keypoints", "num_octaves"))
+def sharded_detect(mesh, images, max_keypoints: int, num_octaves: int):
+    """Frame-axis sharded DoG/SIFT detection (SURVEY.md §2.5 P1): the
+    batched detection kernel under shard_map on the data axis — each device
+    detects its resident block of frames, zero collectives. Replaces the
+    per-frame OpenMP loop of the reference's detect_features
+    (spherical_sfm_tools.cpp:271-307) with the mesh layout the survey names.
+
+    images: (F, H, W) with F divisible by the mesh size.
+    """
+    from ..ops.features import detect_and_describe
+
+    axis = mesh.axis_names[0]
+
+    def body(imgs):
+        return jax.vmap(
+            lambda im: detect_and_describe(im, max_keypoints, num_octaves)
+        )(imgs)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+    )(images)
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0, fill=0):

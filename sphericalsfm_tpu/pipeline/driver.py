@@ -90,6 +90,23 @@ class FrontendResult(NamedTuple):
     mmask: np.ndarray
 
 
+def pipeline_mesh(cfg: PipelineConfig):
+    """The device mesh the production drivers run on, from cfg.devices
+    (SURVEY.md §2.5 P8 / §5.8: multi-chip is a config knob, not a separate
+    entry point). None = single-device. Power-of-two sizes only: the
+    pipeline's shape buckets (powers of two, multiples of 8) must divide
+    evenly across shards."""
+    n = int(getattr(cfg, "devices", 0) or 0)
+    if n <= 1:
+        return None
+    if n & (n - 1) or n > 64:
+        raise ValueError(
+            f"cfg.devices must be a power of two ≤ 64, got {n}")
+    from ..parallel.sharded import make_mesh
+
+    return make_mesh(n)
+
+
 def run_frontend(
     video: str | None,
     cfg: PipelineConfig,
@@ -97,6 +114,7 @@ def run_frontend(
     gray: np.ndarray | None = None,
     color: np.ndarray | None = None,
     cache_path: str | None = None,
+    mesh=None,
 ) -> FrontendResult:
     """Frames → features → exhaustive matches.
 
@@ -125,9 +143,10 @@ def run_frontend(
     log.end(frames=len(gray), height=gray.shape[1], width=gray.shape[2])
 
     log.start("detect_features")
-    feats = detect_features(gray, color, cfg.frontend)
+    feats = detect_features(gray, color, cfg.frontend, mesh=mesh)
     log.end(keypoints=int(feats.counts.sum()),
-            mean_per_frame=float(feats.counts.mean()))
+            mean_per_frame=float(feats.counts.mean()),
+            **({"devices": mesh.size} if mesh is not None else {}))
 
     log.start("match_pairs")
     if cfg.frontend.matching == "windows":
@@ -142,7 +161,8 @@ def run_frontend(
         )
     else:
         pair_i, pair_j = all_pairs(len(gray))
-    idx0, idx1, mmask = match_pairs(feats, pair_i, pair_j, cfg.frontend)
+    idx0, idx1, mmask = match_pairs(feats, pair_i, pair_j, cfg.frontend,
+                                    mesh=mesh)
     log.end(pairs=len(pair_i), matches=int(mmask.sum()),
             mode=cfg.frontend.matching)
     fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
@@ -189,12 +209,14 @@ def run_calibrated(
     os.makedirs(output_dir, exist_ok=True)
     log = StageLogger(output_dir)
     key = jax.random.PRNGKey(0)
+    mesh = pipeline_mesh(cfg)
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
 
     fr = frontend or run_frontend(
         video, cfg, log, gray, color,
         cache_path=os.path.join(output_dir, "frontend.npz"),
+        mesh=mesh,
     )
     F = fr.feats.valid.shape[0]
 
@@ -210,6 +232,7 @@ def run_calibrated(
         adaptive=cfg.ransac.adaptive,
         round_size=cfg.ransac.round_size,
         confidence=cfg.ransac.confidence,
+        mesh=mesh,
     )
     keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg,
                                 best_only=cfg.graph.best_only)
@@ -246,7 +269,7 @@ def run_calibrated(
         intrinsics, np.asarray(rots), tracks, fr.feats.xy,
         colors=fr.feats.color, spherical=True, inward=cfg.inward,
     )
-    m.retriangulate(jax.random.fold_in(key, 1))
+    m.retriangulate(jax.random.fold_in(key, 1), mesh=mesh)
     log.end(points=int(m.point_valid().sum()), tracks=tracks.num_points)
 
     log.start("spherical_ba")
@@ -254,14 +277,16 @@ def run_calibrated(
     stats1 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
     t1 = time.perf_counter()
-    m.retriangulate(jax.random.fold_in(key, 2))
+    m.retriangulate(jax.random.fold_in(key, 2), mesh=mesh)
     t2 = time.perf_counter()
     stats2 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
             **{f"ba2_{k}": v for k, v in stats2.items()},
             ba1_s=round(t1 - t0, 2), retri_s=round(t2 - t1, 2),
@@ -274,15 +299,17 @@ def run_calibrated(
     stats3 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
     m.normalize()
     if cfg.ba.filter_threshold_px > 0:  # opt-in (reference never calls it)
         m.filter_observations(cfg.ba.filter_threshold_px)
-    m.retriangulate(jax.random.fold_in(key, 3))
+    m.retriangulate(jax.random.fold_in(key, 3), mesh=mesh)
     stats4 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
     m.normalize()
     log.end(**{f"ba3_{k}": v for k, v in stats3.items()},
             **{f"ba4_{k}": v for k, v in stats4.items()})
@@ -309,6 +336,7 @@ def run_uncalibrated(
     os.makedirs(output_dir, exist_ok=True)
     log = StageLogger(output_dir)
     key = jax.random.PRNGKey(0)
+    mesh = pipeline_mesh(cfg)
 
     if colmap_db is not None:
         from ..io.colmap import read_database
@@ -348,6 +376,7 @@ def run_uncalibrated(
         fr = frontend or run_frontend(
             video, cfg, log, gray, color,
             cache_path=os.path.join(output_dir, "frontend.npz"),
+            mesh=mesh,
         )
         W, H = fr.feats.width, fr.feats.height
         F = fr.feats.valid.shape[0]
@@ -383,6 +412,7 @@ def run_uncalibrated(
             adaptive=cfg.ransac.adaptive,
             round_size=cfg.ransac.round_size,
             confidence=cfg.ransac.confidence,
+            mesh=mesh,
         )
     keep = _graph_from_pairwise(fr, pw, pw.keep, cfg.graph.min_rotation_deg,
                                 best_only=cfg.graph.best_only)
@@ -506,18 +536,20 @@ def run_uncalibrated(
     m = SfMMap.build(intr, np.asarray(rots), tracks, fr.feats.xy,
                      colors=fr.feats.color, spherical=True, inward=cfg.inward)
     m.focal_fixed = False  # focal is a BA parameter from here on
-    m.retriangulate(jax.random.fold_in(key, 1))
+    m.retriangulate(jax.random.fold_in(key, 1), mesh=mesh)
     log.end(points=int(m.point_valid().sum()))
     m.write_colmap(os.path.join(output_dir, "sparse", "pre-spherical-ba"), W, H)
 
     log.start("spherical_ba")
     stats1 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
-    m.retriangulate(jax.random.fold_in(key, 2))
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
+    m.retriangulate(jax.random.fold_in(key, 2), mesh=mesh)
     stats2 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
             **{f"ba2_{k}": v for k, v in stats2.items()})
     m.write_colmap(os.path.join(output_dir, "sparse", "pre-general-ba"), W, H)
@@ -528,14 +560,16 @@ def run_uncalibrated(
         m.translation_fixed[0] = True
         s3 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
         m.normalize()
         if cfg.ba.filter_threshold_px > 0:  # opt-in (see BAConfig)
             m.filter_observations(cfg.ba.filter_threshold_px)
-        m.retriangulate(jax.random.fold_in(key, 3))
+        m.retriangulate(jax.random.fold_in(key, 3), mesh=mesh)
         s4 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
-                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters)
+                        pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
+                        mesh=mesh)
         m.normalize()
         log.end(**{f"ba3_{k}": v for k, v in s3.items()},
                 **{f"ba4_{k}": v for k, v in s4.items()})

@@ -90,11 +90,17 @@ def detect_features(
     color: np.ndarray | None = None,    # (F, H, W, 3) uint8
     cfg: FrontendConfig = FrontendConfig(),
     batch: int | None = None,
+    mesh=None,
 ) -> FrameFeatures:
     """Detect features on every frame (batched TPU kernel, or OpenCV SIFT
-    when cfg.detector == 'opencv' for cross-checks)."""
+    when cfg.detector == 'opencv' for cross-checks). With `mesh`, the frame
+    axis of every launch shards over the mesh's data axis (shard_map, zero
+    collectives — SURVEY.md §2.5 P1)."""
     if batch is None:
         batch = cfg.detect_batch
+    if mesh is not None:
+        nd = mesh.shape[mesh.axis_names[0]]
+        batch = -(-batch // nd) * nd  # whole number of frames per device
     F, H, W = gray.shape
     K = cfg.max_keypoints
     if cfg.detector == "opencv":
@@ -116,8 +122,14 @@ def detect_features(
         if e - s < batch:  # pad the tail: one compiled shape for all chunks
             imgs = np.concatenate(
                 [imgs, np.zeros((batch - (e - s), H, W), imgs.dtype)])
-        feats = detect_batch(jnp.asarray(imgs), max_keypoints=K,
-                             num_octaves=cfg.num_octaves)
+        if mesh is not None:
+            from ..parallel.sharded import put_sharded, sharded_detect
+
+            feats = sharded_detect(mesh, put_sharded(mesh, imgs), K,
+                                   cfg.num_octaves)
+        else:
+            feats = detect_batch(jnp.asarray(imgs), max_keypoints=K,
+                                 num_octaves=cfg.num_octaves)
         pending.append((feats, _quantize_desc(feats.descriptor), e - s))
     # One device-side concat per output, then one fetch each — per-chunk
     # np.asarray would pay the tunnel's fixed roundtrip 3× per chunk.
@@ -188,11 +200,14 @@ def match_pairs(
     pair_j: np.ndarray,
     cfg: FrontendConfig = FrontendConfig(),
     chunk: int = 32,
+    mesh=None,
 ):
     """Ratio-test matching of the given frame pairs (chunked vmap).
 
     Returns padded index tables (idx0, idx1, mask) of shape
-    (P, cfg.max_matches_per_pair).
+    (P, cfg.max_matches_per_pair). With `mesh`, each chunk's pair axis
+    shards over the data axis (descriptors replicated — the gathers stay
+    local; SURVEY.md §2.5 P2's matching half).
     """
     if feats.descriptor_dev is not None:  # device copy: skip the re-upload
         desc = feats.descriptor_dev
@@ -201,6 +216,13 @@ def match_pairs(
         desc = jnp.asarray(feats.descriptor)
         valid = jnp.asarray(feats.valid)
     M = cfg.max_matches_per_pair
+    if mesh is not None:
+        from ..parallel.sharded import put_sharded, replicated
+
+        nd = mesh.shape[mesh.axis_names[0]]
+        chunk = -(-chunk // nd) * nd * max(1, nd // 8)  # scale work per launch
+        desc = jax.device_put(desc, replicated(mesh))
+        valid = jax.device_put(valid, replicated(mesh))
 
     P = len(pair_i)
     pending = []
@@ -211,8 +233,11 @@ def match_pairs(
         if e - s < chunk:  # pad the tail: one compiled shape for all chunks
             a = np.concatenate([a, np.zeros(chunk - (e - s), a.dtype)])
             b = np.concatenate([b, np.zeros(chunk - (e - s), b.dtype)])
-        pending.append((_match_chunk(desc, valid, jnp.asarray(a),
-                                     jnp.asarray(b), max_matches=M,
+        if mesh is not None:
+            a, b = put_sharded(mesh, a, b)
+        else:
+            a, b = jnp.asarray(a), jnp.asarray(b)
+        pending.append((_match_chunk(desc, valid, a, b, max_matches=M,
                                      ratio=cfg.match_ratio),
                         e - s))
     # device-side concat, one fetch per output (not 3 per chunk)

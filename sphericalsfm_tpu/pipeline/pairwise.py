@@ -96,6 +96,7 @@ def estimate_pairwise(
     adaptive: bool = True,
     round_size: int = 128,
     confidence: float = 0.99,
+    mesh=None,
 ) -> PairwiseResult:
     """Estimate spherical relative poses for every candidate pair.
 
@@ -108,6 +109,10 @@ def estimate_pairwise(
     stays full; one host sync at the end instead of one per chunk — the axon
     tunnel charges ~30 ms per blocking fetch), and the pair axis is padded to
     a whole number of chunks so every chunk hits the same compiled shape.
+
+    With `mesh`, each chunk's pair axis shards over the mesh's data axis
+    (embarrassingly parallel — SURVEY.md §2.5 P2) and the per-launch chunk
+    scales with the mesh so per-device work matches the single-chip tuning.
     """
     P, Nmax = idx0.shape
     if P == 0:
@@ -139,6 +144,10 @@ def estimate_pairwise(
 
     max_rounds = max(1, -(-num_hypotheses // round_size))
 
+    if mesh is not None:
+        nd = mesh.shape[mesh.axis_names[0]]
+        chunk_size = -(-chunk_size // nd) * nd * max(1, nd // 8)
+
     # pad the pair axis so every chunk compiles to one shape (host numpy —
     # device slicing per chunk would be eager dispatches)
     n_chunks = -(-P // chunk_size)
@@ -158,10 +167,15 @@ def estimate_pairwise(
     chunks = []
     for s in range(0, Ppad, chunk_size):
         e = s + chunk_size
+        args = (keys[s:e], u_p[s:e], v_p[s:e], mask_p[s:e])
+        if mesh is not None:
+            from ..parallel.sharded import put_sharded
+
+            args = put_sharded(mesh, *args)
+        else:
+            args = tuple(jnp.asarray(a) for a in args)
         chunks.append(_pairwise_chunk(
-            jnp.asarray(keys[s:e]), jnp.asarray(u_p[s:e]),
-            jnp.asarray(v_p[s:e]), jnp.asarray(mask_p[s:e]),
-            jnp.asarray(sq_thresh),
+            *args, jnp.asarray(sq_thresh),
             adaptive=adaptive, num_hypotheses=num_hypotheses,
             round_size=round_size, max_rounds=max_rounds,
             confidence=confidence, inward=inward))

@@ -149,10 +149,12 @@ class SfMMap:
     # --- compute stages ---------------------------------------------------
 
     def retriangulate(self, key=None, sq_thresh: float = 4.0,
-                      num_hypotheses: int = 32, chunk: int = 4096):
+                      num_hypotheses: int = 32, chunk: int = 4096,
+                      mesh=None):
         """RANSAC-retriangulate every track (reference Retriangulate,
         sfm.cpp:156-192): tracks with <3 valid observations zero out;
-        successes need ≥3 inliers at 2px (4 px²)."""
+        successes need ≥3 inliers at 2px (4 px²). With `mesh`, each chunk's
+        point axis shards over the data axis (SURVEY.md §2.5 P3)."""
         if self.num_points == 0:
             return
         key = jax.random.PRNGKey(0) if key is None else key
@@ -199,10 +201,15 @@ class SfMMap:
         outs = []
         for s in range(0, Ppad, chunk):
             e = s + chunk
+            args = (keys[s:e], rs[s:e], ts[s:e], uv[s:e], mask[s:e])
+            if mesh is not None:
+                from ..parallel.sharded import put_sharded
+
+                args = put_sharded(mesh, *args)
+            else:
+                args = tuple(jnp.asarray(a) for a in args)
             outs.append(_retri_chunk(
-                jnp.asarray(keys[s:e]), jnp.asarray(rs[s:e]),
-                jnp.asarray(ts[s:e]), jnp.asarray(uv[s:e]),
-                jnp.asarray(mask[s:e]), dt(focal),
+                *args, dt(focal),
                 sq_thresh=sq_thresh, num_hypotheses=num_hypotheses))
         X = np.asarray(jnp.concatenate([o.X for o in outs]))[:P]
         ok = np.asarray(jnp.concatenate([o.ok for o in outs]))[:P]
@@ -210,14 +217,21 @@ class SfMMap:
 
     def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",
                  loss_scale: float = 1.0, ftol: float = 1e-6,
-                 pcg_rtol: float = 1e-4, pcg_iters: int = 100) -> dict:
+                 pcg_rtol: float = 1e-4, pcg_iters: int = 100,
+                 mesh=None) -> dict:
         """Robust BA (reference Optimize, sfm.cpp:228-290): points with <3
         observations or at the origin are excluded; Cauchy(1.0) loss.
 
         ftol defaults to Ceres' function_tolerance default (1e-6), which the
         reference's ConfigureSolverOptions (sfm.cpp:200-212) leaves untouched
         — with the previous 1e-9 the f32 path could never terminate early and
-        every BA burned its full max_iters."""
+        every BA burned its full max_iters.
+
+        With `mesh`, the prepared problem lays out over the mesh
+        (observations/points sharded, cameras replicated — the distributed
+        Schur layout of SURVEY.md §2.5 P5) before the same jitted LM loop
+        runs; the padded shape buckets below are powers of two, so they
+        divide any power-of-two mesh."""
         import time as _time
 
         if self.num_cameras == 0 or self.num_points == 0:
@@ -279,6 +293,10 @@ class SfMMap:
             point_fixed=padn(self.point_fixed | ~usable_pt, Pp, fill=True),
         )
         prob, solver = prepare_problem(prob)
+        if mesh is not None:
+            from ..parallel.sharded import shard_ba_problem
+
+            prob = shard_ba_problem(mesh, prob)
         _t1 = _time.perf_counter()
         res = bundle_adjust(prob, max_iters=max_iters,
                             loss_scale=loss_scale,

@@ -30,6 +30,7 @@ import pytest  # noqa: E402
 # pyramid still runs by default.
 _SLOW_MODULES = {
     "test_driver", "test_panorama", "test_multihost", "test_colmap_driver",
+    "test_driver_mesh",
 }
 _SLOW_NAMES = ("pipeline_to_evaluator",)
 

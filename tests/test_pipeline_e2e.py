@@ -5,6 +5,7 @@ tracks → retriangulation → spherical BA → near-zero ATE."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sphericalsfm_tpu.geometry import Intrinsics, so3_exp
 from sphericalsfm_tpu.eval.metrics import ate, rotation_error_deg
@@ -246,6 +247,24 @@ def test_relpose_comparison_csv(tmp_path):
         rows[0]["median_frob_spherical_3pt"]
         < rows[0]["median_frob_general_5pt"]
     )
+
+
+def test_relpose_comparison_cross_validates_against_opencv(tmp_path):
+    """The repo's 5-pt must statistically track the INDEPENDENT OpenCV
+    Nistér implementation under noise (VERDICT r3 #9: a shared systematic
+    error between the repo's own solver columns would be invisible without
+    an external column; reference does this against PoseLib/opengv,
+    test_spherical_relpose.cpp:596-631)."""
+    pytest.importorskip("cv2")
+    from sphericalsfm_tpu.eval.experiments import relpose_comparison
+
+    rows = relpose_comparison(
+        str(tmp_path / "cmp.csv"), angles_deg=(5.0,), noises_px=(1.0,),
+        trials=200,
+    )
+    ours = rows[0]["median_frob_general_5pt"]
+    theirs = rows[0]["median_frob_opencv_5pt"]
+    assert abs(ours - theirs) < 0.15 * max(ours, theirs), (ours, theirs)
 
 
 def test_native_triplet_filter_matches_python():

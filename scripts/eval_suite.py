@@ -1,18 +1,30 @@
-"""Multi-sequence end-to-end accuracy suite.
+"""Hard multi-sequence end-to-end accuracy suite (the PhoneSweep stand-in).
 
-Renders several synthetic spherical captures (different focal lengths,
-frame counts, textures), runs the full *uncalibrated* pipeline on each, and
-evaluates the reconstruction against the rendered ground truth with the
-PhoneSweep metric definitions (Racc/Tacc@{5,15,30}, AUC@30, relative focal
-error — reference scripts/evaluate_sfm_relative.py:88-122). The aggregate
-goes to BASELINE.md.
+The real PhoneSweep dataset (13 handheld sequences, reference
+scripts/evaluate_sfm_relative.py:104-122) is unreachable in this
+environment, so this suite reproduces its DIFFICULTY regime on rendered
+captures instead of its pixels: 14 sequences, 100-250 frames at VGA,
+true focal off the (W+H)/2 guess by up to 2x in both directions, injected
+outlier matches (10-40% of each pair's ratio-test survivors replaced by
+random wrong correspondences), mixed inward/outward captures, and
+low-texture scenes. Every sequence runs the full *uncalibrated* pipeline
+(windows matching, focal search, pose graph, spherical+general BA) and is
+scored with the PhoneSweep metric definitions (Racc/Tacc@{5,15,30}, AUC@30,
+relative focal error — reference scripts/metric.py:51-78) plus ATE.
 
-Usage: python scripts/eval_suite.py [out_dir]
+The result table is committed to EVAL_SUITE.md + eval_suite_results.json at
+the repo root; sequences under AUC 95 get root-caused (VERDICT r4 item 5).
+
+Usage:
+  python scripts/eval_suite.py [out_dir]            # full suite (TPU, ~30min)
+  python scripts/eval_suite.py [out_dir] --quick    # 4 tiny sequences (CPU ok)
+  python scripts/eval_suite.py [out_dir] --only NAME [NAME...]
 """
 
 import json
 import os
 import sys
+import time
 
 # TPU dtype regime unless explicitly running the CPU/f64 path: the
 # accelerator backend has no f64 linalg, and x64 index dtypes break the
@@ -30,46 +42,104 @@ if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
 
     jax.config.update("jax_platforms", "cpu")
 
+W, H = 640, 480           # VGA like the PhoneSweep captures
+GUESS = (W + H) / 2.0     # the driver's focal guess = 560
+
+# The hard suite. focal spans [GUESS/2, GUESS*2]; `outliers` is the injected
+# mismatch fraction; `waves`/`freq` control texture density (freq scales
+# with width: 50 = full detail at VGA, ~12 = low-texture).
 SEQUENCES = [
-    dict(name="f260_16", focal=260.0, num_frames=16, seed=7),
-    dict(name="f320_20", focal=320.0, num_frames=20, seed=11),
-    dict(name="f210_14", focal=210.0, num_frames=14, seed=23),
-    dict(name="f290_24", focal=290.0, num_frames=24, seed=31),
+    dict(name="base_f560_120", focal=560.0, frames=120, seed=7),
+    dict(name="wide_f280_100", focal=280.0, frames=100, seed=11),
+    dict(name="tele_f1120_100", focal=1120.0, frames=100, seed=13),
+    dict(name="f400_140", focal=400.0, frames=140, seed=17),
+    dict(name="f800_140", focal=800.0, frames=140, seed=19),
+    dict(name="out10_f560_120", focal=560.0, frames=120, seed=23, outliers=0.1),
+    dict(name="out20_f450_120", focal=450.0, frames=120, seed=29, outliers=0.2),
+    dict(name="out30_f560_120", focal=560.0, frames=120, seed=31, outliers=0.3),
+    dict(name="out40_f700_100", focal=700.0, frames=100, seed=37, outliers=0.4),
+    dict(name="inward_f560_120", focal=560.0, frames=120, seed=41, inward=True),
+    dict(name="inward_out20_f450_100", focal=450.0, frames=100, seed=43,
+         inward=True, outliers=0.2),
+    dict(name="lowtex_f560_120", focal=560.0, frames=120, seed=47,
+         waves=120, freq=12.0),
+    dict(name="lowtex_f800_100", focal=800.0, frames=100, seed=53,
+         waves=120, freq=12.0),
+    dict(name="long_f560_250", focal=560.0, frames=250, seed=59),
 ]
-W, H = 320, 240
+
+QUICK_SEQUENCES = [
+    dict(name="q_f260_16", focal=260.0, frames=16, seed=7, width=320,
+         height=240),
+    dict(name="q_f320_20", focal=320.0, frames=20, seed=11, width=320,
+         height=240),
+    dict(name="q_out20_f260_16", focal=260.0, frames=16, seed=23,
+         outliers=0.2, width=320, height=240),
+    dict(name="q_inward_f290_16", focal=290.0, frames=16, seed=31,
+         inward=True, width=320, height=240),
+]
 
 
 def run_sequence(spec, out_root):
     import numpy as np
 
-    from sphericalsfm_tpu.config import PipelineConfig
-    from sphericalsfm_tpu.eval.relpose_eval import evaluate_models
-    from sphericalsfm_tpu.eval.render import render_capture
-    from sphericalsfm_tpu.io.colmap import rotmat_to_quat
-    from sphericalsfm_tpu.pipeline.driver import run_uncalibrated
-    from sphericalsfm_tpu.geometry.so3 import so3_exp
+    import jax
     import jax.numpy as jnp
 
+    from sphericalsfm_tpu.config import PipelineConfig
+    from sphericalsfm_tpu.eval.metrics import ate
+    from sphericalsfm_tpu.eval.relpose_eval import evaluate_models
+    from sphericalsfm_tpu.eval.render import render_capture
+    from sphericalsfm_tpu.eval.synthetic import corrupt_match_table
+    from sphericalsfm_tpu.geometry.so3 import np_so3_exp, so3_exp
+    from sphericalsfm_tpu.io.colmap import rotmat_to_quat
+    from sphericalsfm_tpu.pipeline.driver import (
+        StageLogger, run_frontend, run_uncalibrated,
+    )
+
+    w = spec.get("width", W)
+    h = spec.get("height", H)
+    frames = spec["frames"]
+    inward = spec.get("inward", False)
     cam_r, cam_t, gray, color = render_capture(
-        num_frames=spec["num_frames"], arc=1.0, focal=spec["focal"],
-        width=W, height=H, seed=spec["seed"],
+        num_frames=frames, arc=1.0, focal=spec["focal"], width=w, height=h,
+        seed=spec["seed"], inward=inward,
+        n_waves=spec.get("waves", 600),
+        wave_freq=spec.get("freq", 25.0 * w / 320.0),
     )
     out = os.path.join(out_root, spec["name"])
+    os.makedirs(out, exist_ok=True)
     cfg = PipelineConfig()
-    cfg.frontend.max_keypoints = 512
-    cfg.frontend.max_matches_per_pair = 384
-    cfg.ransac.num_hypotheses = 384
+    cfg.inward = inward
+    cfg.general_ba = True
+    cfg.frontend.max_keypoints = 1024 if w >= 640 else 512
+    cfg.frontend.max_matches_per_pair = 512 if w >= 640 else 384
+    cfg.ransac.num_hypotheses = 512 if w >= 640 else 384
     cfg.ransac.min_num_inliers = 30
-    cfg.focal.num_trials = 256
-    cfg.ba.max_iters = 60
-    m, focal = run_uncalibrated(None, out, cfg, gray=gray, color=color)
+    cfg.focal.num_trials = 512
+    cfg.ba.max_iters = 100
+    if frames > 48:
+        cfg.frontend.matching = "windows"
+
+    t0 = time.time()
+    fr = run_frontend(None, cfg, StageLogger(out), gray, color)
+    outlier_frac = spec.get("outliers", 0.0)
+    if outlier_frac > 0:
+        idx1 = corrupt_match_table(
+            fr.idx1, fr.mmask, fr.pair_j, fr.feats.counts, outlier_frac,
+            seed=spec["seed"],
+        )
+        fr = fr._replace(idx1=idx1)
+    m, focal = run_uncalibrated(None, out, cfg, gray=None, color=None,
+                                frontend=fr, image_size=(w, h))
+    wall = time.time() - t0
 
     # write the rendered ground truth as a COLMAP text model
     gt_dir = os.path.join(out, "gt")
     os.makedirs(gt_dir, exist_ok=True)
     Rs = np.asarray(so3_exp(jnp.asarray(cam_r)))
     with open(os.path.join(gt_dir, "cameras.txt"), "w") as f:
-        f.write(f"1 SIMPLE_PINHOLE {W} {H} {spec['focal']} {W/2} {H/2}\n")
+        f.write(f"1 SIMPLE_PINHOLE {w} {h} {spec['focal']} {w/2} {h/2}\n")
     with open(os.path.join(gt_dir, "images.txt"), "w") as f:
         for i in range(len(Rs)):
             q = rotmat_to_quat(Rs[i])
@@ -81,29 +151,78 @@ def run_sequence(spec, out_root):
     open(os.path.join(gt_dir, "points3D.txt"), "w").close()
 
     rep = evaluate_models(os.path.join(out, "sparse", "final"), gt_dir)
+    R_est = np_so3_exp(m.cam_r)
+    centers = -np.einsum("cji,cj->ci", R_est, m.cam_t)
+    Rg = np_so3_exp(cam_r)
+    cg = -np.einsum("cji,cj->ci", Rg, cam_t)
+    rep["ate"] = float(ate(jnp.asarray(centers), jnp.asarray(cg)))
     rep["sequence"] = spec["name"]
+    rep["frames"] = frames
+    rep["outlier_frac"] = outlier_frac
+    rep["inward"] = inward
     rep["focal_true"] = spec["focal"]
     rep["focal_est"] = focal
+    rep["wall_s"] = round(wall, 1)
     return rep
 
 
+def _markdown_table(reports, agg):
+    cols = ["sequence", "frames", "outlier_frac", "inward", "focal_true",
+            "focal_est", "focal_rel_err_pct", "Racc@5", "Tacc@5", "AUC@30",
+            "ate", "wall_s"]
+    lines = ["| " + " | ".join(cols) + " |",
+             "|" + "|".join(["---"] * len(cols)) + "|"]
+    for r in reports:
+        row = []
+        for c in cols:
+            v = r.get(c)
+            row.append(f"{v:.3g}" if isinstance(v, float) else str(v))
+        lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    lines.append("Aggregate: " + json.dumps(agg))
+    return "\n".join(lines)
+
+
 def main():
-    out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfm_eval_suite"
+    args = [a for a in sys.argv[1:]]
+    quick = "--quick" in args
+    if quick:
+        args.remove("--quick")
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1:])
+        args = args[:i]
+    out_root = args[0] if args else "/tmp/sfm_eval_suite"
     import numpy as np
 
+    seqs = QUICK_SEQUENCES if quick else SEQUENCES
+    if only:
+        seqs = [s for s in seqs if s["name"] in only]
     reports = []
-    for spec in SEQUENCES:
+    for spec in seqs:
         rep = run_sequence(spec, out_root)
         print(json.dumps(rep), flush=True)
         reports.append(rep)
 
     agg = {"sequences": len(reports)}
     for k in ("Racc@5", "Racc@15", "Racc@30", "Tacc@5", "Tacc@15", "Tacc@30",
-              "AUC@30", "focal_rel_err_pct"):
+              "AUC@30", "focal_rel_err_pct", "ate"):
         agg[f"mean_{k}"] = float(np.mean([r[k] for r in reports]))
+    agg["min_AUC@30"] = float(min(r["AUC@30"] for r in reports))
     print(json.dumps(agg, indent=2))
     with open(os.path.join(out_root, "suite.json"), "w") as f:
         json.dump({"per_sequence": reports, "aggregate": agg}, f, indent=2)
+    if not quick and not only:
+        # commit-ready artifacts at the repo root
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+        with open(os.path.join(root, "eval_suite_results.json"), "w") as f:
+            json.dump({"per_sequence": reports, "aggregate": agg}, f,
+                      indent=2)
+        with open(os.path.join(root, "EVAL_SUITE.md"), "w") as f:
+            f.write("# Hard evaluation suite (PhoneSweep stand-in)\n\n")
+            f.write(__doc__.split("Usage:")[0] + "\n")
+            f.write(_markdown_table(reports, agg) + "\n")
 
 
 if __name__ == "__main__":

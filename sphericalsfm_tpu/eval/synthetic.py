@@ -121,3 +121,32 @@ def make_circular_scene(
         radii = lo + (hi - lo) * jax.random.uniform(k_pts, (num_points,), dtype)
     points = dirs * radii[..., None]
     return poses_r, poses_t, points
+
+
+def corrupt_match_table(idx1, mmask, pair_j, counts, fraction: float,
+                        seed: int = 0):
+    """Inject outlier correspondences into a padded match table: for each
+    pair, replace `fraction` of its valid matches' second-frame indices with
+    a random (wrong) keypoint of that frame.
+
+    The PhoneSweep difficulty stand-in (reference
+    scripts/evaluate_sfm_relative.py benchmarks real handheld captures whose
+    ratio-test survivors carry 10-40% mismatches); rendered captures match
+    too cleanly, so the hard evaluation suite corrupts the tables explicitly
+    and the pipeline's RANSAC/robust-loss layers must absorb it. Host numpy.
+    Returns a new idx1.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    idx1 = np.array(idx1, copy=True)
+    P, _ = idx1.shape
+    for p in range(P):
+        valid = np.nonzero(mmask[p])[0]
+        k = int(round(len(valid) * fraction))
+        if k == 0:
+            continue
+        sel = rng.choice(valid, size=k, replace=False)
+        kj = int(counts[pair_j[p]])
+        idx1[p, sel] = rng.integers(0, max(kj, 1), size=k)
+    return idx1

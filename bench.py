@@ -166,6 +166,136 @@ def bench_ba_scale(device):
     return int(res.iterations) / dt, K, cost
 
 
+def bench_minimal_solvers(device):
+    """TPU-measured 5-pt (qr eigenpath) and shared-focal 6-pt rows
+    (VERDICT r3 item 7: 'TPU-capable' -> 'TPU-measured'; reference
+    comparison machinery evaluation/test_random_problems.cpp:31-92).
+
+    Returns (fivept_solves_per_s, fivept_med_rot_deg,
+             sixpt_solves_per_s, sixpt_med_focal_err_pct).
+    """
+    from sphericalsfm_tpu.solvers.five_point import (
+        cheirality_best, decompose_essential, solve_essential_5pt,
+    )
+    from sphericalsfm_tpu.solvers.shared_focal import solve_shared_focal_6pt
+    from sphericalsfm_tpu.ransac.spherical import sampson_error
+
+    B = 512
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        prob = make_random_problems(
+            jax.random.PRNGKey(3), batch=B, num_corr=8, rotation_deg=2.0,
+            point_noise=1.0 / FOCAL, dtype=jnp.float32,
+        )
+    u = jax.device_put(np.asarray(prob.u, np.float32), device)
+    v = jax.device_put(np.asarray(prob.v, np.float32), device)
+
+    def _marginal(make_loop, k1=2, k2=8):
+        """Per-call wall time by the fori-marginal methodology: k repeats
+        inside ONE jit returning a fetched scalar checksum (block_until_ready
+        without a host fetch under-reports on the tunneled chip)."""
+        def timed(k):
+            fn = jax.jit(make_loop(k), device=device)
+            float(fn())  # compile + warm
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn())
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return max((timed(k2) - timed(k1)) / (k2 - k1), 1e-9)
+
+    # --- 5-pt (qr path, the TPU eigensolver) ------------------------------
+    solve5 = jax.jit(
+        lambda uu, vv: solve_essential_5pt(
+            uu[:, :5], vv[:, :5], method="qr"), device=device)
+    Es, valid = solve5(u, v)
+
+    def _loop5(k):
+        def run():
+            def body(i, acc):
+                Es_, _ = solve5(u + 1e-6 * i, v)
+                return acc + Es_.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    dt5 = _marginal(_loop5)
+    # honest scoring: all-point Sampson disambiguation + cheirality — ONE
+    # jitted call under HIGHEST precision (eager ops on the tunneled chip
+    # pay per-op dispatch, and the default MXU precision would put a bf16
+    # floor under the svd-based decomposition)
+    def _score5(Es_, valid_, uu, vv):
+        with jax.default_matmul_precision("highest"):
+            samp = sampson_error(Es_, uu[:, None], vv[:, None]).sum(-1)
+            total = jnp.where(valid_ & jnp.isfinite(samp), samp, jnp.inf)
+            best = jnp.argmin(total, axis=-1)
+            E_best = jnp.take_along_axis(
+                Es_, best[:, None, None, None], 1)[:, 0]
+            Rs, ts = decompose_essential(E_best)
+            R5, _, _ = cheirality_best(
+                Rs, ts, uu, vv, jnp.ones(uu.shape[:2], bool))
+            return R5, jnp.isfinite(total).any(-1)
+
+    R5, ok5 = jax.jit(_score5, device=device)(Es, valid, u, v)
+    Rd = np.einsum("...ij,...ik->...jk", np.asarray(R5, np.float64),
+                   np.asarray(prob.R, np.float64))
+    tr = np.clip((np.trace(Rd, axis1=-2, axis2=-1) - 1) / 2, -1, 1)
+    rot5 = np.degrees(np.arccos(tr))
+    ok5 = np.asarray(ok5)
+
+    # --- shared-focal 6-pt -------------------------------------------------
+    # General-motion problems: focal is intrinsically near-unobservable from
+    # ONE minimal sample under small-baseline spherical motion (the driver's
+    # --sixpoint mode aggregates over many samples and pairs for exactly
+    # this reason), so the single-solve accuracy row uses the well-posed
+    # general-motion regime the solver's unit tests use.
+    from sphericalsfm_tpu.geometry.so3 import np_so3_exp
+
+    rng = np.random.default_rng(7)
+    axes = rng.normal(size=(B, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    Rg = np_so3_exp(axes * rng.uniform(0.05, 0.5, (B, 1)))
+    tg = rng.normal(size=(B, 3))
+    tg = 0.3 * tg / np.linalg.norm(tg, axis=-1, keepdims=True)
+    xy = rng.normal(size=(B, 8, 2)) * 0.5
+    ug = np.concatenate([xy, np.ones((B, 8, 1))], -1)
+    X = ug * rng.uniform(4, 8, (B, 8, 1))
+    PX = np.einsum("bij,bnj->bni", Rg, X) + tg[:, None]
+    vg = np.concatenate([PX[..., :2] / PX[..., 2:], np.ones((B, 8, 1))], -1)
+    ug[..., :2] += rng.normal(size=(B, 8, 2)) / FOCAL  # 1 px noise
+    vg[..., :2] += rng.normal(size=(B, 8, 2)) / FOCAL
+    s = np.float32(1.3)  # true focal = 1.3x the nominal guess
+    scale = jnp.asarray([s, s, 1.0], jnp.float32)
+    u6 = jax.device_put(jnp.asarray(ug, jnp.float32) * scale, device)
+    v6 = jax.device_put(jnp.asarray(vg, jnp.float32) * scale, device)
+    solve6 = jax.jit(
+        lambda uu, vv: solve_shared_focal_6pt(uu[:, :6], vv[:, :6]),
+        device=device)
+    Es6, valid6, f6 = solve6(u6, v6)
+
+    def _loop6(k):
+        def run():
+            def body(i, acc):
+                _, _, f_ = solve6(u6 + 1e-6 * i, v6)
+                return acc + f_.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    dt6 = _marginal(_loop6)
+    # min-over-candidates scoring, like the reference's default
+    # test_random_problems branch (candidate disambiguation is RANSAC's job
+    # downstream — a 2-point Sampson vote is too noisy at 1 px)
+    f_np = np.asarray(f6)
+    v_np = np.asarray(valid6)
+    focal_err_pct = 100.0 * np.where(
+        v_np, np.abs(f_np / float(s) - 1.0), np.inf).min(-1)
+    ok6 = v_np.any(-1)
+
+    return (B / dt5, float(np.median(rot5[ok5])),
+            B / dt6, float(np.median(focal_err_pct[ok6])))
+
+
 def _chip_watchdog(seconds: float = 240.0):
     """Emit a sentinel JSON line and exit if the first device op never
     returns — the axon tunnel can wedge so every client hangs (CLAUDE.md);
@@ -208,6 +338,11 @@ def main():
     except Exception as e:  # keep the primary metric if the big run fails
         ba_scale_ips, ba_scale_obs, ba_scale_cost = -1.0, 0, float("nan")
         print(f"# ba_scale failed: {e}", flush=True)
+    try:
+        (p5_sps, p5_rot, p6_sps, p6_ferr) = bench_minimal_solvers(accel)
+    except Exception as e:
+        p5_sps, p5_rot, p6_sps, p6_ferr = -1.0, float("nan"), -1.0, float("nan")
+        print(f"# minimal solver bench failed: {e}", flush=True)
 
     errs_a = rot_err_deg_np(np.asarray(res_a.r, np.float64), R_gt)
     errs_s = rot_err_deg_np(np.asarray(res_s.r, np.float64), R_gt)
@@ -242,6 +377,16 @@ def main():
         "ba_scale_workload": (
             f"{ba_scale_obs} obs, 2000 cams, 131072 pts, block-Jacobi PCG "
             f"Schur f32, final cost {ba_scale_cost:.4g}"
+        ),
+        "fivept_qr_solves_per_s": round(p5_sps, 1),
+        "fivept_qr_median_rot_err_deg": round(p5_rot, 4),
+        "sixpt_solves_per_s": round(p6_sps, 1),
+        "sixpt_median_focal_err_pct": round(p6_ferr, 3),
+        "minimal_solver_workload": (
+            "512-batch, 1 px noise; 5-pt: spherical 2 deg rotation, "
+            "Sampson-disambiguated + cheirality scoring; 6-pt: general "
+            "motion (focal observable), focal = 1.3x nominal, "
+            "min-over-candidates scoring (reference default)"
         ),
     }))
 

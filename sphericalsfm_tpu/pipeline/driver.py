@@ -195,6 +195,18 @@ def _graph_from_pairwise(fr: FrontendResult, pw, keep, min_rotation_deg,
     return keep
 
 
+
+def _warm_lambda(stats: dict) -> float:
+    """Warm-start damping for the next robust LM pass: the previous pass's
+    final λ, clamped — a tiny converged λ would make the restart overshoot
+    (rejection back-off costs ~8 iterations to recover 12 decades), and a
+    huge one would crawl. Ceres keeps its radius across its inner restarts
+    for the same reason (trust_region_minimizer.cc)."""
+    lam = stats.get("lam", 1e-4)
+    if not (lam == lam) or lam <= 0:  # NaN guard
+        return 1e-4
+    return float(min(max(lam, 1e-6), 1e-1))
+
 def run_calibrated(
     video: str | None,
     intrinsics: Intrinsics,
@@ -286,7 +298,7 @@ def run_calibrated(
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
-                        mesh=mesh)
+                        mesh=mesh, init_lambda=_warm_lambda(stats1))
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
             **{f"ba2_{k}": v for k, v in stats2.items()},
             ba1_s=round(t1 - t0, 2), retri_s=round(t2 - t1, 2),
@@ -300,7 +312,7 @@ def run_calibrated(
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
-                        mesh=mesh)
+                        mesh=mesh, init_lambda=_warm_lambda(stats2))
     m.normalize()
     if cfg.ba.filter_threshold_px > 0:  # opt-in (reference never calls it)
         m.filter_observations(cfg.ba.filter_threshold_px)
@@ -309,7 +321,7 @@ def run_calibrated(
                         solve_dtype=cfg.ba.solve_dtype,
                         loss_scale=cfg.ba.loss_scale,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
-                        mesh=mesh)
+                        mesh=mesh, init_lambda=_warm_lambda(stats3))
     m.normalize()
     log.end(**{f"ba3_{k}": v for k, v in stats3.items()},
             **{f"ba4_{k}": v for k, v in stats4.items()})
@@ -549,7 +561,7 @@ def run_uncalibrated(
     stats2 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
-                        mesh=mesh)
+                        mesh=mesh, init_lambda=_warm_lambda(stats1))
     log.end(**{f"ba1_{k}": v for k, v in stats1.items()},
             **{f"ba2_{k}": v for k, v in stats2.items()})
     m.write_colmap(os.path.join(output_dir, "sparse", "pre-general-ba"), W, H)
@@ -561,7 +573,7 @@ def run_uncalibrated(
         s3 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
-                        mesh=mesh)
+                        mesh=mesh, init_lambda=_warm_lambda(stats2))
         m.normalize()
         if cfg.ba.filter_threshold_px > 0:  # opt-in (see BAConfig)
             m.filter_observations(cfg.ba.filter_threshold_px)
@@ -569,7 +581,7 @@ def run_uncalibrated(
         s4 = m.optimize(max_iters=cfg.ba.max_iters,
                         solve_dtype=cfg.ba.solve_dtype,
                         pcg_rtol=cfg.ba.pcg_rtol, pcg_iters=cfg.ba.pcg_iters,
-                        mesh=mesh)
+                        mesh=mesh, init_lambda=_warm_lambda(s3))
         m.normalize()
         log.end(**{f"ba3_{k}": v for k, v in s3.items()},
                 **{f"ba4_{k}": v for k, v in s4.items()})

@@ -218,7 +218,8 @@ class SfMMap:
     def optimize(self, max_iters: int = 100, solve_dtype: str = "float64",
                  loss_scale: float = 1.0, ftol: float = 1e-6,
                  pcg_rtol: float = 1e-4, pcg_iters: int = 100,
-                 mesh=None) -> dict:
+                 mesh=None, init_lambda: float = 1e-4,
+                 init_dec: float = 2.0) -> dict:
         """Robust BA (reference Optimize, sfm.cpp:228-290): points with <3
         observations or at the origin are excluded; Cauchy(1.0) loss.
 
@@ -302,12 +303,13 @@ class SfMMap:
                             loss_scale=loss_scale,
                             solve_dtype_name=solve_dtype, ftol=ftol,
                             pcg_rtol=pcg_rtol, pcg_iters=pcg_iters,
-                            camera_solver=solver)
+                            camera_solver=solver,
+                            init_lambda=init_lambda, init_dec=init_dec)
         # ONE host fetch for everything (each separate np.asarray would pay
         # the tunnel's fixed per-fetch roundtrip).
-        cam_t, cam_r, upd, focal, cost, c0, iters = jax.device_get(
+        cam_t, cam_r, upd, focal, cost, c0, iters, lam_f = jax.device_get(
             (res.cam_t, res.cam_r, res.points, res.focal, res.cost,
-             res.initial_cost, res.iterations)
+             res.initial_cost, res.iterations, res.lam)
         )
         _t2 = _time.perf_counter()
         self.cam_t = np.asarray(cam_t)[:C]
@@ -324,6 +326,9 @@ class SfMMap:
             "focal": float(focal),
             "prep_s": round(_t1 - _t0, 2),
             "solve_s": round(_t2 - _t1, 2),
+            # final LM damping, for warm-starting the next robust pass
+            # (clamped by the caller; see driver._warm_lambda)
+            "lam": float(lam_f),
         }
 
     def reprojection_errors(self) -> np.ndarray:

@@ -55,25 +55,68 @@ def partial_kernel(stage):
                  for s in range(s_)], jnp.float32)
             vals, lay, yy, xx = ft._block_topk(
                 resp, block=max(16 >> o, 1), keep=8)
-            all_xy.append(jnp.stack([xx * 2.0 ** o, yy * 2.0 ** o], -1))
+            cap = min(2 * KMAX, vals.shape[0])  # mirror the real kernel's
+            vals, sel_o = jax.lax.top_k(vals, cap)  # per-octave prefilter
+            all_xy.append(jnp.stack(
+                [xx[sel_o] * 2.0 ** o, yy[sel_o] * 2.0 ** o], -1))
             all_resp.append(vals)
-            all_scale.append(scale_of_layer[lay])
+            all_scale.append(scale_of_layer[lay[sel_o]])
             all_oct.append(jnp.full(vals.shape, o, jnp.int32))
-            all_layer.append(lay)
+            all_layer.append(lay[sel_o])
             oct_img = ft._downsample2(gstack[ft._NUM_SCALES])
         if stage == "pyramid":
             return sum(jnp.sum(g) for g in octave_images)
         xy = jnp.concatenate(all_xy)
         resp = jnp.concatenate(all_resp)
+        octv = jnp.concatenate(all_oct)
+        layer = jnp.concatenate(all_layer)
         if stage == "topk":
             return jnp.sum(xy) + jnp.sum(resp)
         sel, valid = ft._grid_nms(resp, xy, cell=max(8.0, W / 64.0),
                                   width=float(W), per_cell=8, k=KMAX)
         if stage == "nms":
             return jnp.sum(xy[sel]) + jnp.sum(valid)
-        return None  # refine/full handled by the real kernel
+        if stage == "refine":
+            # replicate the subpixel-refinement block (dog_pack + vmapped
+            # quadratic fit) to split it from the descriptor stage
+            xy_k = xy[sel]
+            octv_k = octv[sel]
+            layer_k = layer[sel]
+            S2 = ft._NUM_SCALES + 2
+            dog_pack = jnp.zeros((NOCT * S2, H, W), jnp.float32)
+            for o in range(NOCT):
+                dgs = octave_images[o][1:] - octave_images[o][:-1]
+                h_o, w_o = dgs.shape[1], dgs.shape[2]
+                dog_pack = dog_pack.at[o * S2: o * S2 + S2, :h_o, :w_o].set(dgs)
 
-    if stage in ("pyramid", "topk", "nms"):
+            def refine_xy(i):
+                o = jnp.clip(octv_k[i], 0, NOCT - 1)
+                lay_idx = o * S2 + layer_k[i] + 1
+                inv = jnp.exp2(-o.astype(jnp.float32))
+                xo = xy_k[i, 0] * inv
+                yo = xy_k[i, 1] * inv
+
+                def at(ddx, ddy):
+                    return ft._bilinear_layer(dog_pack, lay_idx, xo + ddx,
+                                              yo + ddy)
+
+                dx_ = 0.5 * (at(1.0, 0.0) - at(-1.0, 0.0))
+                dy_ = 0.5 * (at(0.0, 1.0) - at(0.0, -1.0))
+                dxx = at(1.0, 0.0) + at(-1.0, 0.0) - 2.0 * at(0.0, 0.0)
+                dyy = at(0.0, 1.0) + at(0.0, -1.0) - 2.0 * at(0.0, 0.0)
+                dxy = 0.25 * (at(1.0, 1.0) + at(-1.0, -1.0)
+                              - at(1.0, -1.0) - at(-1.0, 1.0))
+                det = dxx * dyy - dxy * dxy
+                det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+                off_x = -(dyy * dx_ - dxy * dy_) / det
+                off_y = -(dxx * dy_ - dxy * dx_) / det
+                return off_x, off_y
+
+            rx, ry = jax.vmap(refine_xy)(jnp.arange(KMAX))
+            return jnp.sum(rx) + jnp.sum(ry)
+        return None  # full handled by the real kernel
+
+    if stage in ("pyramid", "topk", "nms", "refine"):
         def batched(images):
             return jnp.sum(jax.vmap(one)(images))
     elif stage == "full":
@@ -108,7 +151,7 @@ def main():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray((rng.random((B, H, W)) * 255).astype(np.uint8))
     prev = 0.0
-    for stage in ("pyramid", "topk", "nms", "full"):
+    for stage in ("pyramid", "topk", "nms", "refine", "full"):
         t = marginal_time(partial_kernel(stage), imgs) / B
         print(f"{stage:8s} cumulative {t * 1e3:7.2f} ms/frame  "
               f"(stage +{(t - prev) * 1e3:6.2f} ms)", flush=True)

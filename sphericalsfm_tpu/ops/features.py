@@ -48,22 +48,40 @@ def _gauss_kernel1d(sigma: float, radius: int, dtype) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
-def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of (H, W) via two 1-D convolutions."""
+def _blur_toeplitz(n: int, sigma: float):
+    """Banded Toeplitz blur matrix (n, n), numpy f32: out = M @ x along one
+    axis, zero-padded at the edges (identical math to the zero-padded conv
+    it replaces). Dense on purpose: a (H, H) @ (H, W) matmul keeps the MXU
+    busy where a 1-channel TPU convolution is launch-latency-bound — the
+    pyramid was 21.8 ms/frame as 40 sequential 1-channel convs and ~2 ms as
+    batched matmuls (scripts/profile_detect_stages.py)."""
+    import numpy as np
+
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = _gauss_kernel1d(sigma, radius, img.dtype)
-    img4 = img[None, None]  # NCHW
-    kh = k[None, None, :, None]
-    kw = k[None, None, None, :]
-    out = jax.lax.conv_general_dilated(
-        img4, kh, (1, 1), [(radius, radius), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kw, (1, 1), [(0, 0), (radius, radius)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    M = np.zeros((n, n), np.float32)
+    for i, kv in enumerate(k):
+        off = i - radius
+        idx = np.arange(max(0, -off), min(n, n - off))
+        M[idx, idx + off] = kv
+    return M
+
+
+def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (H, W) as two banded-matrix matmuls.
+
+    HIGHEST precision: blur outputs feed DoG differences whose magnitudes
+    sit near the 0.015 contrast threshold; default bf16 rounding of
+    ~1.0-magnitude inputs would put ~1e-3 absolute noise on values read at
+    the 1e-2 scale. The FLOPs are tiny (~5 GFLOP/frame) — even the 6-pass
+    f32 emulation is sub-millisecond."""
+    H, W = img.shape
+    Mh = jnp.asarray(_blur_toeplitz(H, sigma))
+    Mw = jnp.asarray(_blur_toeplitz(W, sigma))
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.einsum("hk,kw,wx->hx", Mh, img, Mw, precision=hi)
 
 
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
@@ -129,23 +147,33 @@ def _dog_extrema(dogs: jnp.ndarray, contrast_thresh: float):
     S, H, W = dogs.shape
     center = dogs[1:-1]
 
-    def shifts(a):
-        outs = []
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                outs.append(jnp.roll(jnp.roll(a, dy, axis=-2), dx, axis=-1))
-        return outs
+    # Separable 3×3(×3) neighborhood extrema instead of materializing the
+    # 26-shifted-copy stack (26·S·H·W floats + 52 rolls of HBM traffic —
+    # pure bandwidth waste; this form is ~12 rolls and no big stack).
+    def _row3(a, op):
+        return op(a, op(jnp.roll(a, 1, -1), jnp.roll(a, -1, -1)))
 
-    neighbors = []
-    for ds in (-1, 0, 1):
-        layer = dogs[1 + ds : S - 1 + ds]
-        ns = shifts(layer)
-        if ds == 0:
-            ns = ns[:4] + ns[5:]  # exclude the center itself
-        neighbors.extend(ns)
-    stack = jnp.stack(neighbors)  # (26, S-2, H, W)
-    is_max = jnp.all(center > stack, axis=0)
-    is_min = jnp.all(center < stack, axis=0)
+    def _pool9(a, op):          # full 3×3 neighborhood including center
+        r = _row3(a, op)
+        return op(r, op(jnp.roll(r, 1, -2), jnp.roll(r, -1, -2)))
+
+    def _pool8(a, op):          # 3×3 ring excluding the center
+        r3 = _row3(a, op)       # row max incl. center
+        lr = op(jnp.roll(a, 1, -1), jnp.roll(a, -1, -1))  # left/right only
+        return op(lr, op(jnp.roll(r3, 1, -2), jnp.roll(r3, -1, -2)))
+
+    below = dogs[0 : S - 2]
+    above = dogs[2:S]
+    nb_max = jnp.maximum(
+        jnp.maximum(_pool9(below, jnp.maximum), _pool9(above, jnp.maximum)),
+        _pool8(center, jnp.maximum),
+    )
+    nb_min = jnp.minimum(
+        jnp.minimum(_pool9(below, jnp.minimum), _pool9(above, jnp.minimum)),
+        _pool8(center, jnp.minimum),
+    )
+    is_max = center > nb_max
+    is_min = center < nb_min
     strong = jnp.abs(center) > contrast_thresh
 
     # Edge rejection via the 2×2 spatial Hessian trace²/det ratio.
@@ -230,9 +258,9 @@ def _grid_nms(resp_flat, xy, cell: float, width: float, per_cell: int, k: int):
     rank_in_cell = jnp.arange(n) - first_idx
     keep_sorted = (rank_in_cell < per_cell) & (resp_flat[order] > 0)
     scored = jnp.where(keep_sorted, resp_flat[order], -1.0)
-    topk = jnp.argsort(-scored)[:k]
+    vals, topk = jax.lax.top_k(scored, k)  # O(n log k), not a third full sort
     final = order[topk]
-    return final, scored[topk] > 0
+    return final, vals > 0
 
 
 @partial(jax.jit, static_argnames=("max_keypoints", "num_octaves"))
@@ -281,11 +309,20 @@ def detect_and_describe(
         # so cells align across octaves) — shrinks the global NMS sorts from
         # the full pixel count to a few k candidates per octave.
         vals, lay, yy, xx = _block_topk(resp, block=max(16 >> o, 1), keep=8)
-        all_xy.append(jnp.stack([xx * (2.0**o), yy * (2.0**o)], axis=-1))
+        # Second prefilter: per-octave top-2·K before the cross-octave NMS.
+        # The grid NMS's two global argsorts were the detector's biggest
+        # stage post-pyramid (6.5 ms/frame over ~38k candidates at VGA);
+        # top_k to 2·K per octave shrinks them ~5x. 2x headroom covers the
+        # corner case where the per-cell cap suppresses strong-but-crowded
+        # candidates in favor of weaker isolated ones.
+        cap = min(2 * max_keypoints, vals.shape[0])
+        vals, sel_o = jax.lax.top_k(vals, cap)
+        all_xy.append(jnp.stack(
+            [xx[sel_o] * (2.0**o), yy[sel_o] * (2.0**o)], axis=-1))
         all_resp.append(vals)
-        all_scale.append(scale_of_layer[lay])
+        all_scale.append(scale_of_layer[lay[sel_o]])
         all_oct.append(jnp.full(vals.shape, o, jnp.int32))
-        all_layer.append(lay)
+        all_layer.append(lay[sel_o])
         oct_img = _downsample2(gstack[_NUM_SCALES])
 
     xy = jnp.concatenate(all_xy)

@@ -382,7 +382,11 @@ def detect_and_describe(
     # octave folds into the gather's layer index. (A per-keypoint
     # `lax.switch` over octave branches is a trap: its vmap rule select_n's
     # each branch's captured stack per keypoint — a keypoints × S × H × W
-    # broadcast that OOMs at real frame sizes.)
+    # broadcast that OOMs at real frame sizes.) An in-patch-gradient
+    # variant (one Gaussian slice per keypoint, central differences inside
+    # the patch) was tried and reverted: it saves ~2 ms/frame but measurably
+    # degraded the inward rendered-capture reconstruction (ATE 0.05 -> 0.17,
+    # tests/test_driver.py::test_calibrated_driver_inward).
     S3 = _NUM_SCALES + 3
     gx_pack = jnp.zeros((num_octaves * S3, H, W), jnp.float32)
     gy_pack = jnp.zeros((num_octaves * S3, H, W), jnp.float32)
@@ -441,11 +445,12 @@ def detect_and_describe(
         ).astype(jnp.int32) % _ORI_BINS
         val = (mag * wgt).reshape(-1)
         bins = bins.reshape(-1)
-        # per-bin masked reductions (sibling-fused by XLA), not .at[].add:
-        # vmapped scatters serialize on TPU
-        hist = jnp.stack(
-            [jnp.sum(jnp.where(bins == b, val, 0.0)) for b in range(_ORI_BINS)]
-        )
+        # one-hot matvec (batched matmul under vmap), not .at[].add: vmapped
+        # scatters serialize on TPU, and 36 unrolled masked reductions were
+        # both slower and bigger to compile
+        oh36 = (bins[:, None] == jnp.arange(_ORI_BINS)[None, :]).astype(
+            jnp.float32)
+        hist = val @ oh36
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         theta = (
             (jnp.argmax(hist).astype(jnp.float32) + 0.5) / _ORI_BINS
@@ -466,15 +471,13 @@ def detect_and_describe(
         obin = jnp.floor(
             ((ang2 + 3 * jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * 8
         ).astype(jnp.int32) % 8
-        cell = (cell_y * 4 + cell_x).reshape(-1)
+        comb = (cell_y * 4 + cell_x).reshape(-1) * 8 + obin.reshape(-1)
         val2 = (mag * wgt2).reshape(-1)
-        # separable one-hot contraction (cell ⊗ orientation-bin): one batched
-        # 16×P×8 matmul instead of 128 unrolled masked reductions — same
-        # result, ~5× less compile time
-        oh_cell = (cell[:, None] == jnp.arange(16)[None, :]).astype(jnp.float32)
-        oh_ob = (obin.reshape(-1)[:, None] == jnp.arange(8)[None, :]).astype(
-            jnp.float32)
-        desc = jnp.einsum("p,pa,pb->ab", val2, oh_cell, oh_ob).reshape(128)
+        # fused (cell, orientation-bin) one-hot: ONE (P, 128) matvec per
+        # keypoint (a batched matmul under vmap) instead of the two-operand
+        # separable contraction XLA split into two passes
+        oh128 = (comb[:, None] == jnp.arange(128)[None, :]).astype(jnp.float32)
+        desc = val2 @ oh128
         return theta, desc
 
     thetas, descs = jax.vmap(keypoint_frame)(jnp.arange(max_keypoints))

@@ -79,7 +79,8 @@ def _match_kernel(d1_ref, d0_ref, bias0_ref, m1_ref, m2_ref, idx_ref):
     idx_ref[0, pl.ds(i, 1), :] = jnp.where(blk_m1 < m1, blk_idx, idx)
 
 
-@partial(jax.jit, static_argnames=("q_block", "t_block", "interpret"))
+@partial(jax.jit, static_argnames=("q_block", "t_block", "interpret",
+                                   "compute_dtype"))
 def two_nearest_neighbors_batched(
     d0: jnp.ndarray,       # (B, K0, D) train descriptors, L2-normalized
     d1: jnp.ndarray,       # (B, K1, D) query descriptors
@@ -88,23 +89,33 @@ def two_nearest_neighbors_batched(
     q_block: int = 512,
     t_block: int = 1024,
     interpret: bool = False,
+    compute_dtype: str = "bfloat16",
 ):
     """Two smallest squared L2 distances + argmin per query, per pair.
 
     Returns (m1 (B, K1), m2 (B, K1), idx (B, K1) int32); invalid queries
     carry +inf distances. K0/K1 are padded internally to block multiples.
+
+    `compute_dtype` is the matmul INPUT dtype; accumulation is always f32
+    (preferred_element_type). The default bf16 is the MXU's native format —
+    f32 inputs run the 6-pass emulation at 1/6 peak. SIFT descriptors are
+    uint8-quantized multiples of 1/512 in [0, ~0.5], so bf16's 8 mantissa
+    bits cost ~4e-3 relative on the inner product — far inside the 0.75
+    ratio-test margin (recall agreement asserted in
+    tests/test_pallas_matching.py). Pass "float32" for exactness checks.
     """
     B, K0, D = d0.shape
     K1 = d1.shape[1]
+    cdt = jnp.dtype(compute_dtype)
     t_block = min(t_block, -(-K0 // 128) * 128)
     q_block = min(q_block, -(-K1 // 128) * 128)
     K0p = -(-K0 // t_block) * t_block
     K1p = -(-K1 // q_block) * q_block
-    d0p = jnp.zeros((B, K0p, D), jnp.float32).at[:, :K0].set(
-        d0.astype(jnp.float32)
+    d0p = jnp.zeros((B, K0p, D), cdt).at[:, :K0].set(
+        d0.astype(cdt)
     )
-    d1p = jnp.zeros((B, K1p, D), jnp.float32).at[:, :K1].set(
-        d1.astype(jnp.float32)
+    d1p = jnp.zeros((B, K1p, D), cdt).at[:, :K1].set(
+        d1.astype(cdt)
     )
     valid0_pad = jnp.zeros((B, K0p), bool).at[:, :K0].set(valid0)
     bias0 = jnp.where(valid0_pad, 0.0, jnp.inf).astype(jnp.float32)

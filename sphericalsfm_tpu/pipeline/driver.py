@@ -205,7 +205,12 @@ def _warm_lambda(stats: dict) -> float:
     lam = stats.get("lam", 1e-4)
     if not (lam == lam) or lam <= 0:  # NaN guard
         return 1e-4
-    return float(min(max(lam, 1e-6), 1e-1))
+    # floor at the cold default: a pass that converged with tiny λ says
+    # nothing about the NEXT pass's basin (retriangulation moved the
+    # points), and starting below 1e-4 measurably walked the inward driver
+    # into a worse minimum; starting HIGHER (previous pass ended damped) is
+    # where the iteration savings are
+    return float(min(max(lam, 1e-4), 1e-1))
 
 def run_calibrated(
     video: str | None,

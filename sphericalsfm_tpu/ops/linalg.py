@@ -102,6 +102,37 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
+def chol3x3(M: jnp.ndarray, floor: float = 1e-30) -> jnp.ndarray:
+    """Closed-form lower Cholesky of batched SPD (..., 3, 3) blocks.
+
+    Branchless and NaN-free by construction: pivots are clamped to `floor`
+    before the sqrt/divide, so all-zero blocks (dead / frozen points whose
+    inverse was masked to 0) come back as a finite ~sqrt(floor)·I factor
+    instead of NaN — callers multiply it by exactly-zero couplings, and
+    NaN·0 would poison the product where 0 is required. Used to split the
+    damped point-block inverse Hpp⁻¹ = L·Lᵀ so the Schur correction
+    factorizes as (U L)(U L)ᵀ (one aggregated operand instead of two).
+    """
+    a11 = jnp.maximum(M[..., 0, 0], floor)
+    l11 = jnp.sqrt(a11)
+    l21 = M[..., 1, 0] / l11
+    l31 = M[..., 2, 0] / l11
+    a22 = jnp.maximum(M[..., 1, 1] - l21 * l21, floor)
+    l22 = jnp.sqrt(a22)
+    l32 = (M[..., 2, 1] - l31 * l21) / l22
+    a33 = jnp.maximum(M[..., 2, 2] - l31 * l31 - l32 * l32, floor)
+    l33 = jnp.sqrt(a33)
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, z, z], axis=-1),
+            jnp.stack([l21, l22, z], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def smallest_eigvec_3x3(S: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of a symmetric (..., 3, 3).
 

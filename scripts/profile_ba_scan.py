@@ -8,6 +8,7 @@ Usage: python scripts/profile_ba_scan.py
 import os
 import sys
 import time
+from functools import partial
 
 os.environ.setdefault("SPHERICALSFM_TPU_X64", "0")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -204,6 +205,54 @@ def main():
 
         timeit("full LM body (jac+solve+cost)", jax.jit(lm_body_once),
                p.focal, p.cam_t, p.cam_r, p.points)
+
+        # --- slot-major rewrite -------------------------------------------
+        st = jax.jit(lambda: ba._build_slot_tables(p, jnp.float32))()
+        jax.block_until_ready(st)
+
+        slots_full = jax.jit(lambda f, ct, cr, pts: ba._schur_solve_slots(
+            f, ct, cr, pts, st, p, lam, 1.0, jnp.float32))
+        timeit("schur slots total", slots_full,
+               p.focal, p.cam_t, p.cam_r, p.points)
+
+        def lm_body_slots(f, ct, cr, pts):
+            d_f, d_cam, d_pts, md = ba._schur_solve_slots(
+                f, ct, cr, pts, st, p, lam, 1.0, jnp.float32)
+            nc = ba._ba_cost_slots(f + d_f, ct + d_cam[:, :3],
+                                   cr + d_cam[:, 3:], pts + d_pts, st, p, 1.0)
+            return nc, md
+
+        timeit("full LM body (slots)", jax.jit(lm_body_slots),
+               p.focal, p.cam_t, p.cam_r, p.points)
+
+        # k-repeat fori marginal timing of the slot body (dispatch-floor
+        # free): run the body k times chained through the state.
+        def k_bodies(f, ct, cr, pts, k):
+            def step(_, state):
+                f, ct, cr, pts = state
+                d_f, d_cam, d_pts, _ = ba._schur_solve_slots(
+                    f, ct, cr, pts, st, p, lam, 1.0, jnp.float32)
+                # 1e-30 (not 0.0): keeps the solve live against DCE while
+                # leaving the state numerically unchanged across steps.
+                return (f + 1e-30 * d_f, ct + 1e-30 * d_cam[:, :3],
+                        cr + 1e-30 * d_cam[:, 3:], pts + 1e-30 * d_pts)
+            f, ct, cr, pts = jax.lax.fori_loop(
+                0, k, step, (f, ct, cr, pts))
+            return f + jnp.sum(ct) + jnp.sum(cr) + jnp.sum(pts)
+
+        for k in (4, 16):
+            fn = jax.jit(partial(k_bodies, k=k))
+            out = fn(p.focal, p.cam_t, p.cam_r, p.points)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                out = fn(p.focal, p.cam_t, p.cam_r, p.points)
+            float(out)
+            dt = (time.perf_counter() - t0) / reps
+            print(f"slots schur x{k} (fori)            "
+                  f"{dt * 1e3:8.3f} ms  ({dt * 1e3 / k:.3f}/step)",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -405,3 +405,132 @@ def eig_real_batched(M: jnp.ndarray, aberth_iters: int = 60,
     lam_out = jnp.where(valid, lam_out, 0.0)
     V = jnp.where(valid[..., None, :], V, 0.0)
     return lam_out, V, valid
+
+
+def chol_small(A: jnp.ndarray, floor: float = 1e-30) -> jnp.ndarray:
+    """Trace-unrolled lower Cholesky of a small (..., b, b) SPD block.
+
+    Generalizes `chol3x3` to any compile-time block size: the b(b+1)/2
+    scalar recurrences unroll at trace time into fused elementwise ops, so
+    there is NO sequential while_loop on device (XLA's `cholesky` lowers to
+    an O(b)-deep loop nest on TPU). Pivots are clamped to `floor` before
+    sqrt/divide — branchless and NaN-free on all-zero blocks.
+    """
+    b = A.shape[-1]
+    L = [[None] * b for _ in range(b)]
+    z = jnp.zeros_like(A[..., 0, 0])
+    for j in range(b):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, floor))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, b):
+            t = A[..., i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv_d
+        for i in range(j):
+            L[i][j] = z
+    return jnp.stack(
+        [jnp.stack(row, axis=-1) for row in L], axis=-2
+    )
+
+
+def tri_inv_lower_small(L: jnp.ndarray) -> jnp.ndarray:
+    """Trace-unrolled inverse of a small (..., b, b) lower-triangular block.
+
+    Forward substitution against the identity, fully unrolled — the
+    companion to `chol_small` (XLA's `triangular_solve` is an O(b)-deep
+    sequential loop on TPU). Caller guarantees nonzero diagonal (chol_small
+    floors its pivots).
+    """
+    b = L.shape[-1]
+    X = [[None] * b for _ in range(b)]
+    z = jnp.zeros_like(L[..., 0, 0])
+    for j in range(b):
+        for i in range(b):
+            if i < j:
+                X[i][j] = z
+            elif i == j:
+                X[i][j] = 1.0 / L[..., i, i]
+            else:
+                s = z
+                for k in range(j, i):
+                    s = s - L[..., i, k] * X[k][j]
+                X[i][j] = s / L[..., i, i]
+    return jnp.stack(
+        [jnp.stack(row, axis=-1) for row in X], axis=-2
+    )
+
+
+def block_chol_solve(S: jnp.ndarray, rhs: jnp.ndarray,
+                     block: int = 8) -> jnp.ndarray:
+    """Dense SPD solve S x = rhs via a block-column Cholesky scan.
+
+    TPU replacement for `jnp.linalg.cholesky` + two `solve_triangular`
+    calls: XLA lowers those to while-loops whose sequential depth is O(D)
+    tiny steps (measured ~4-5 ms at D=385 on v5e — the dominant cost of the
+    BA dense camera solve). Here the factorization runs as a lax.scan over
+    D/b block columns with closed-form (trace-unrolled) b×b factor and
+    triangular inverse per step, and the FORWARD substitution is fused into
+    the same scan (classic outer-product elimination carries the rhs), so
+    the total sequential depth is 2·D/b steps of MXU/VPU work.
+
+    The input is padded to a multiple of `block` with identity rows, which
+    factor trivially and stay decoupled. Caller handles equilibration /
+    ridge; same contract as the previous inline Cholesky path.
+    """
+    dtype = S.dtype
+    D = S.shape[0]
+    nb = -(-D // block)
+    Dp = nb * block
+    Spad = jnp.eye(Dp, dtype=dtype).at[:D, :D].set(S)
+    bpad = jnp.zeros((Dp,), dtype).at[:D].set(rhs)
+    # M[i, k] = b×b block (i, k)
+    M = Spad.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
+    bb = bpad.reshape(nb, block)
+    idx = jnp.arange(nb)
+
+    def fwd(carry, j):
+        M, bb = carry
+        col = jax.lax.dynamic_slice(
+            M, (0, j, 0, 0), (nb, 1, block, block))[:, 0]       # M[:, j]
+        Djj = jax.lax.dynamic_slice(
+            col, (j, 0, 0), (1, block, block))[0]
+        Linv = tri_inv_lower_small(chol_small(Djj))              # L_jj^{-1}
+        # Column j of the factor: L_ij = M[i,j] · L_jj^{-T}; row j itself
+        # reproduces L_jj because D_jj = L_jj L_jjᵀ.
+        Lcol = col @ Linv.T
+        keep = (idx >= j).astype(dtype)
+        Lcol = Lcol * keep[:, None, None]
+        # Fused forward substitution: y_j = L_jj^{-1} b_j, then eliminate
+        # b_i -= L_ij y_j below; row j of bb now HOLDS y_j.
+        bj = jax.lax.dynamic_slice(bb, (j, 0), (1, block))[0]
+        yj = Linv @ bj
+        below = (idx > j).astype(dtype)
+        bb = bb - (Lcol @ yj) * below[:, None]
+        bb = jax.lax.dynamic_update_slice(bb, yj[None], (j, 0))
+        # Trailing Schur update M[i,k] -= L_ij L_kjᵀ (i, k > j).
+        Lu = Lcol * below[:, None, None]
+        M = M - jnp.einsum("iab,kcb->ikac", Lu, Lu)
+        return (M, bb), (Lcol, Linv)
+
+    (_, y), (Lcols, Linvs) = jax.lax.scan(fwd, (M, bb), idx)
+
+    # Backward substitution Lᵀ x = y over reversed block rows:
+    # x_j = L_jj^{-T} (y_j − Σ_{k>j} L_kjᵀ x_k); Lcols[j] is column j.
+    def bwd(x, inp):
+        j, Lcol, Linv = inp
+        yj = jax.lax.dynamic_slice(y, (j, 0), (1, block))[0]
+        above = (idx > j).astype(dtype)
+        s = jnp.einsum("kba,kb->a", Lcol * above[:, None, None], x)
+        xj = Linv.T @ (yj - s)
+        return jax.lax.dynamic_update_slice(x, xj[None], (j, 0)), None
+
+    x, _ = jax.lax.scan(
+        bwd, jnp.zeros((nb, block), dtype),
+        (idx[::-1], Lcols[::-1], Linvs[::-1]),
+    )
+    return x.reshape(Dp)[:D]

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.so3 import so3_exp
-from ..ops.linalg import inv3x3
+from ..ops.linalg import chol3x3, inv3x3
 from .lm import cauchy_rho, cauchy_weight
 
 
@@ -104,6 +104,21 @@ def ba_cost(focal, cam_t, cam_r, points, p: BAProblem, loss_scale=1.0):
     return 0.5 * jnp.sum(p.obs_w * cauchy_rho(s, loss_scale))
 
 
+def _packed_resid(theta, uv):
+    """Residual of one observation from the packed 10-vector
+    [f, t(3), r(3), X(3)] — the autodiff seed shared by the obs-major and
+    slot-major Jacobian paths (consistent with Ceres's autodiff of the same
+    cost, reference sfm.cpp:30-66; raw angle-axis, no local manifold)."""
+    f = theta[0]
+    t = theta[1:4]
+    r = theta[4:7]
+    X = theta[7:10]
+    Rm = so3_exp(r)
+    px = Rm @ X + t
+    z = jnp.where(jnp.abs(px[2]) > 1e-12, px[2], 1e-12)
+    return f * px[:2] / z - uv
+
+
 def _per_obs_jacobians(focal, cam_t, cam_r, points, p: BAProblem):
     """Residuals and Jacobian blocks per observation.
 
@@ -113,20 +128,7 @@ def _per_obs_jacobians(focal, cam_t, cam_r, points, p: BAProblem):
     the raw-angle-axis parameterization (no local manifold), matching the
     reference.
     """
-
-    def one(f, t, r, X, uv):
-        Rm = so3_exp(r)
-        px = Rm @ X + t
-        z = jnp.where(jnp.abs(px[2]) > 1e-12, px[2], 1e-12)
-        return f * px[:2] / z - uv
-
-    # jacfwd over a 10-vector [f, t(3), r(3), X(3)] in one pass.
-    def packed(theta, uv):
-        f = theta[0]
-        t = theta[1:4]
-        r = theta[4:7]
-        X = theta[7:10]
-        return one(f, t, r, X, uv)
+    packed = _packed_resid
 
     thetas = jnp.concatenate(
         [
@@ -168,6 +170,208 @@ def _weight_and_mask(e, Jf, Jc, Jx, p: BAProblem, loss_scale):
     )[:, None, :]
     Jx_w = Jx_w * free_x[:, None, None]
     return e_w, Jf_w, Jc_w, Jx_w
+
+
+class _SlotTables(NamedTuple):
+    """Loop-invariant point-major (P, Tmax) view of the observation table.
+
+    Built ONCE per bundle_adjust trace, before the LM while_loop: the old
+    dense-scan solver re-gathered the per-obs residual/Jacobian arrays
+    through `track_obs` EVERY iteration (~3.6 ms of random gathers at the
+    64-camera bench shape — the single largest piece of its 13 ms step).
+    In slot-major layout those gathers touch only static data and hoist out
+    of the loop; per-iteration work is elementwise/MXU only. Requires a
+    COMPLETE track table (prepare_problem's dense-scan dispatch already
+    guarantees one — a truncated table would drop observations).
+    """
+
+    uv: jnp.ndarray      # (P, T, 2)
+    w: jnp.ndarray       # (P, T) obs weight, 0 on padding
+    cam: jnp.ndarray     # (P, T) int32, C on padding
+    camc: jnp.ndarray    # (P, T) int32 clamped to [0, C-1] (gather-safe)
+    mask: jnp.ndarray    # (P, T) bool
+    free_t: jnp.ndarray  # (P, T)
+    free_r: jnp.ndarray  # (P, T)
+
+
+def _build_slot_tables(p: BAProblem, dtype) -> _SlotTables:
+    C = p.cam_t.shape[0]
+    cam = jnp.where(p.track_mask, p.obs_cam[p.track_obs], C)
+    camc = jnp.minimum(cam, C - 1)
+    mf = p.track_mask.astype(dtype)
+    return _SlotTables(
+        uv=p.obs_uv[p.track_obs] * mf[..., None],
+        w=p.obs_w[p.track_obs] * mf,
+        cam=cam,
+        camc=camc,
+        mask=p.track_mask,
+        free_t=(~p.trans_fixed).astype(dtype)[camc] * mf,
+        free_r=(~p.rot_fixed).astype(dtype)[camc] * mf,
+    )
+
+
+def _soa_rodrigues(r0, r1, r2, x0, x1, x2):
+    """Structure-of-arrays Rodrigues: p = R(r)·X as component planes.
+
+    Every intermediate is a full (P, T) array, so the VPU runs at full lane
+    occupancy — the packed (N, 10)/(N, 3) form wasted ~92% of the lanes on
+    the tiny minor dims (measured 3.2 ms/step of the 64-cam bench Schur
+    step; this form is ~0.1 ms). Small-angle guards mirror
+    geometry/so3.py::_exp exactly. Returns (p0, p1, p2, aux) where aux
+    carries (theta2, theta_safe, small, a, b, c, d) for the analytic
+    Jacobian."""
+    theta2 = r0 * r0 + r1 * r1 + r2 * r2
+    theta = jnp.sqrt(theta2)
+    small = theta2 < 1e-16
+    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    a = jnp.where(
+        small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe
+    )
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0,
+        (1.0 - jnp.cos(theta_safe)) / (theta_safe * theta_safe),
+    )
+    # c = r × X ; d = r × c  (K X and K² X of the Rodrigues form)
+    c0 = r1 * x2 - r2 * x1
+    c1 = r2 * x0 - r0 * x2
+    c2 = r0 * x1 - r1 * x0
+    d0 = r1 * c2 - r2 * c1
+    d1 = r2 * c0 - r0 * c2
+    d2 = r0 * c1 - r1 * c0
+    p0 = x0 + a * c0 + b * d0
+    p1 = x1 + a * c1 + b * d1
+    p2 = x2 + a * c2 + b * d2
+    aux = (theta_safe, small, a, b, (c0, c1, c2), (d0, d1, d2))
+    return p0, p1, p2, aux
+
+
+def _slot_params(focal, cam_t, cam_r, points, st: _SlotTables):
+    P, T = st.cam.shape
+    tg = cam_t[st.camc]
+    rg = cam_r[st.camc]
+    return (
+        tg[..., 0], tg[..., 1], tg[..., 2],
+        rg[..., 0], rg[..., 1], rg[..., 2],
+        jnp.broadcast_to(points[:, None, 0], (P, T)),
+        jnp.broadcast_to(points[:, None, 1], (P, T)),
+        jnp.broadcast_to(points[:, None, 2], (P, T)),
+    )
+
+
+def _slot_jacobians(focal, cam_t, cam_r, points, st: _SlotTables):
+    """Slot-major twin of `_per_obs_jacobians`: residuals/Jacobians computed
+    directly in the (P, T) track layout (padding slots read camera 0 /
+    weight 0 and are zeroed by the caller's weighting).
+
+    The Jacobian is ANALYTIC in SoA form — the same chain rule jacfwd
+    traces through `_packed_resid`, hand-expanded so every term is a full
+    (P, T) plane (exactness vs the autodiff obs-major path is asserted by
+    tests/test_ba.py::test_slot_schur_matches_obs_major). Derivative of the
+    rotation action, term by term:
+        ∂(RX)/∂r_k = α_k c + a (e_k×X) + β_k d + b (e_k×c + r×(e_k×X))
+    with c = r×X, d = r×c, α_k = ∂a/∂r_k, β_k = ∂b/∂r_k via the Taylor
+    guards of so3_exp."""
+    t0, t1, t2, r0, r1, r2, x0, x1, x2 = _slot_params(
+        focal, cam_t, cam_r, points, st
+    )
+    p0, p1, p2, aux = _soa_rodrigues(r0, r1, r2, x0, x1, x2)
+    theta_safe, small, a, b, (c0, c1, c2), (d0, d1, d2) = aux
+    p0 = p0 + t0
+    p1 = p1 + t1
+    p2 = p2 + t2
+    z = jnp.where(jnp.abs(p2) > 1e-12, p2, 1e-12)
+    fz = focal / z
+    q0 = p0 / z
+    q1 = p1 / z
+    e = jnp.stack([focal * q0 - st.uv[..., 0],
+                   focal * q1 - st.uv[..., 1]], axis=-1)
+
+    # ∂e/∂f — the focal column (P, T, 2, 1).
+    Jf = jnp.stack([q0, q1], axis=-1)[..., None]
+
+    # ∂a/∂θ / θ and ∂b/∂θ / θ with so3_exp's Taylor limits (the guarded
+    # branch derivative jacfwd takes through the `where`s).
+    ts2 = theta_safe * theta_safe
+    sin_t = jnp.sin(theta_safe)
+    cos_t = jnp.cos(theta_safe)
+    da_over = jnp.where(
+        small, jnp.full_like(a, -1.0 / 3.0),
+        (theta_safe * cos_t - sin_t) / (ts2 * theta_safe),
+    )
+    db_over = jnp.where(
+        small, jnp.full_like(b, -1.0 / 12.0),
+        (theta_safe * sin_t - 2.0 * (1.0 - cos_t)) / (ts2 * ts2),
+    )
+
+    def dp_dr(rk, ekX, ekC, rxekX):
+        # ∂p/∂r_k — each operand a 3-tuple of planes.
+        al = da_over * rk
+        be = db_over * rk
+        return tuple(
+            al * c + a * eX + be * d + b * (eC + rX)
+            for c, d, eX, eC, rX in zip(
+                (c0, c1, c2), (d0, d1, d2), ekX, ekC, rxekX
+            )
+        )
+
+    zero = jnp.zeros_like(p0)
+    # e_k × X, e_k × c, r × (e_k × X) for k = 0, 1, 2 (hand-expanded).
+    dr_cols = [
+        dp_dr(r0, (zero, -x2, x1), (zero, -c2, c1),
+              (r1 * x1 + r2 * x2, -r0 * x1, -r0 * x2)),
+        dp_dr(r1, (x2, zero, -x0), (c2, zero, -c0),
+              (-r1 * x0, r2 * x2 + r0 * x0, -r1 * x2)),
+        dp_dr(r2, (-x1, x0, zero), (-c1, c0, zero),
+              (-r2 * x0, -r2 * x1, r0 * x0 + r1 * x1)),
+    ]
+
+    def proj_cols(cols3):
+        # chain through the projection: de = fz · (dp_xy − q · dp_z)
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [fz * (dp0 - q0 * dp2), fz * (dp1 - q1 * dp2)],
+                    axis=-1,
+                )
+                for (dp0, dp1, dp2) in cols3
+            ],
+            axis=-1,
+        )
+
+    # ∂p/∂t = I → columns (fz, 0), (0, fz), (−fz q0, −fz q1).
+    Jt = proj_cols([(jnp.ones_like(p0), zero, zero),
+                    (zero, jnp.ones_like(p0), zero),
+                    (zero, zero, jnp.ones_like(p0))])
+    Jr = proj_cols(dr_cols)
+    # ∂p/∂X = R, reconstructed column-wise from the same primal pieces:
+    # R e_k = e_k + a (r × e_k) + b (r × (r × e_k)).
+    rr0, rr1, rr2 = r0 * r0, r1 * r1, r2 * r2
+    Jx = proj_cols([
+        (1.0 - b * (rr1 + rr2), a * r2 + b * r0 * r1,
+         -a * r1 + b * r0 * r2),
+        (-a * r2 + b * r0 * r1, 1.0 - b * (rr0 + rr2),
+         a * r0 + b * r1 * r2),
+        (a * r1 + b * r0 * r2, -a * r0 + b * r1 * r2,
+         1.0 - b * (rr0 + rr1)),
+    ])
+    return e, Jf, jnp.concatenate([Jt, Jr], axis=-1), Jx
+
+
+def _ba_cost_slots(focal, cam_t, cam_r, points, st: _SlotTables, p,
+                   loss_scale=1.0):
+    """Robust cost over the slot table — identical to `ba_cost` when the
+    track table is complete (the dense-scan dispatch requirement). SoA
+    primal only (full-lane elementwise, no (N, 10) packing)."""
+    t0, t1, t2, r0, r1, r2, x0, x1, x2 = _slot_params(
+        focal, cam_t, cam_r, points, st
+    )
+    p0, p1, p2, _ = _soa_rodrigues(r0, r1, r2, x0, x1, x2)
+    p2 = p2 + t2
+    z = jnp.where(jnp.abs(p2) > 1e-12, p2, 1e-12)
+    e0 = focal * (p0 + t0) / z - st.uv[..., 0]
+    e1 = focal * (p1 + t1) / z - st.uv[..., 1]
+    s = e0 * e0 + e1 * e1
+    return 0.5 * jnp.sum(st.w * cauchy_rho(s, loss_scale))
 
 
 def _schur_solve(
@@ -321,6 +525,168 @@ def _schur_solve(
     Wt_dx = jnp.einsum("ptij,pti->pj", tU, dc_track)
     Ft_dx = tF_sum * d_f
     d_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -b_p - Wt_dx - Ft_dx)
+    md = _model_decrease(
+        lam, d_f, d_cam, d_pts, b_f, b_c, b_p, Hff, diagC,
+        jnp.diagonal(Hpp, axis1=-2, axis2=-1),
+    )
+    return d_f, d_cam, d_pts, md
+
+
+def _schur_solve_slots(
+    focal, cam_t, cam_r, points, st: _SlotTables, p: BAProblem, lam,
+    loss_scale, solve_dtype,
+):
+    """Slot-major dense Schur step — the speed-of-light rewrite of
+    `_schur_solve` (same math, same damping, same dense camera solve).
+
+    Three structural changes, each targeting a measured TPU sink at the
+    64-cam / 40.8k-obs bench shape (scripts/profile_ba_scan.py):
+      * residuals/Jacobians are computed directly in the (P, T) track
+        layout from loop-invariant slot tables — no per-iteration
+        track-table gathers (was ~3.6 ms of random gathers);
+      * every tiny-contraction einsum (d=2 / x=3 inner dims, which XLA
+        lowers to pad-wasted batched micro-matmuls) is a broadcast
+        multiply-sum on the VPU (point blocks were ~3.4 ms);
+      * ALL camera-indexed reductions ride ONE chunked one-hot scan whose
+        payloads concatenate into a single (C, chunkT)×(chunkT, 60) MXU
+        matmul, and the Schur correction uses the symmetric (U·L)(U·L)ᵀ
+        form (Hpp⁻¹ = LLᵀ via chol3x3) so one aggregated operand feeds a
+        syrk-shaped contraction (separate obs-major one-hot reductions
+        were ~1.8 ms on top of the ~3.7 ms fill).
+    """
+    C = p.cam_t.shape[0]
+    P, Tmax = st.cam.shape
+    dtype = points.dtype
+
+    e, Jf, Jc, Jx = _slot_jacobians(focal, cam_t, cam_r, points, st)
+
+    # --- weights + freeze masks (slot-major twin of _weight_and_mask) ---
+    s = jnp.sum(e * e, axis=-1)
+    w = cauchy_weight(s, loss_scale) * st.w
+    sw = jnp.sqrt(w)[..., None]
+    e_w = e * sw
+    free_f = jnp.where(p.focal_fixed, 0.0, 1.0).astype(dtype)
+    free_x = (~p.point_fixed).astype(dtype)
+    Jf_w = Jf[..., 0] * sw * free_f                      # (P, T, 2)
+    free_c = jnp.concatenate(
+        [
+            jnp.repeat(st.free_t[..., None], 3, -1),
+            jnp.repeat(st.free_r[..., None], 3, -1),
+        ],
+        axis=-1,
+    )                                                     # (P, T, 6)
+    Jc_w = Jc * sw[..., None] * free_c[..., None, :]      # (P, T, 2, 6)
+    Jx_w = Jx * sw[..., None] * free_x[:, None, None, None]
+
+    # --- point blocks as broadcast multiply-sums (VPU) ---
+    Hpp = jnp.sum(Jx_w[..., :, None] * Jx_w[..., None, :], axis=(1, 2))
+    b_p = jnp.sum(Jx_w * e_w[..., None], axis=(1, 2))     # (P, 3)
+    # Camera-point coupling U = Jcᵀ Jx per slot and the focal column.
+    tU = jnp.sum(Jc_w[..., :, None] * Jx_w[..., None, :], axis=2)  # (P,T,6,3)
+    tF_slot = jnp.sum(Jf_w[..., None] * Jx_w, axis=2)     # (P, T, 3)
+    tF_sum = jnp.sum(tF_slot, axis=1)                     # (P, 3)
+    Hff = jnp.sum(Jf_w * Jf_w)
+    b_f = jnp.sum(Jf_w * e_w)
+
+    # --- damping + closed-form point inverses (identical to _schur_solve) ---
+    Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
+        lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
+    )[..., None, :] * jnp.eye(3, dtype=dtype)
+    Hpp_inv = inv3x3(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
+    Hpp_inv = jnp.where(
+        (jnp.sum(st.mask, axis=-1) > 0)[:, None, None], Hpp_inv, 0.0
+    )
+    # Split Hpp⁻¹ = L Lᵀ so the Schur correction is the symmetric
+    # (U L)(U L)ᵀ — one aggregated operand instead of (U Hpp⁻¹, U).
+    Lp = chol3x3(Hpp_inv)                                 # (P, 3, 3)
+    q1 = jnp.sum(Hpp_inv * b_p[:, None, :], axis=-1)      # Hpp⁻¹ b_p
+    hF = jnp.sum(Hpp_inv * tF_sum[:, None, :], axis=-1)   # Hpp⁻¹ F
+
+    # Per-slot payloads (x = 3 contractions unrolled as broadcast sums):
+    W = sum(
+        tU[..., x, None] * Lp[:, None, None, x, :] for x in range(3)
+    )                                                     # (P, T, 6, 3) = U·L
+    g_a = sum(tU[..., x] * q1[:, None, None, x] for x in range(3))  # U·q1
+    g_f = sum(tU[..., x] * hF[:, None, None, x] for x in range(3))  # U·hF
+    # Camera-diagonal payloads: Jcᵀ Jc (36), Jcᵀ e (6), Jf·Jc (6).
+    Y_cc = jnp.sum(Jc_w[..., :, None] * Jc_w[..., None, :], axis=2)
+    y_bc = jnp.sum(Jc_w * e_w[..., None], axis=2)         # (P, T, 6)
+    y_fc = jnp.sum(Jf_w[..., None] * Jc_w, axis=2)        # (P, T, 6)
+
+    # Point-level focal reductions (no camera index involved).
+    S_ff_corr = jnp.sum(hF * tF_sum)
+    rf_red = jnp.sum(hF * b_p)
+
+    # --- ONE chunked one-hot scan for every camera-indexed reduction ---
+    chunk = max(128, min(P, (64 << 20) // max(Tmax * C, 1), 4096))
+    n_chunks = -(-P // chunk)
+    Ppad = n_chunks * chunk
+
+    def pad0(x):
+        return jnp.zeros((Ppad,) + x.shape[1:], x.dtype).at[:P].set(x)
+
+    payload = jnp.concatenate(
+        [Y_cc.reshape(P, Tmax, 36), y_bc, y_fc, g_a, g_f], axis=-1
+    )                                                     # (P, T, 60)
+    pay_c = pad0(payload).reshape(n_chunks, chunk, Tmax, 60)
+    W_c = pad0(W.reshape(P, Tmax, 18)).reshape(n_chunks, chunk, Tmax, 18)
+    cam_c = pad0(st.cam).reshape(n_chunks, chunk, Tmax)
+
+    def chunk_body(carry, xs):
+        S_corr, red = carry
+        pay, Wk, tc = xs
+        oh = (tc[..., None] == jnp.arange(C)[None, None, :]).astype(dtype)
+        # All per-camera row reductions in one (C, chunkT)@(chunkT, 60):
+        red = red + jnp.einsum(
+            "qc,qf->cf", oh.reshape(-1, C), pay.reshape(-1, 60)
+        )
+        # Per-point camera aggregate of U·L, then the symmetric fill.
+        A = jnp.einsum("ptc,ptf->pcf", oh, Wk)            # (chunk, C, 18)
+        A = A.reshape(chunk, C, 6, 3)
+        S_corr = S_corr + jnp.einsum("pcix,pejx->ceij", A, A)
+        return (S_corr, red), None
+
+    (S_corr, red), _ = jax.lax.scan(
+        chunk_body,
+        (
+            jnp.zeros((C, C, 6, 6), dtype),
+            jnp.zeros((C, 60), dtype),
+        ),
+        (pay_c, W_c, cam_c),
+    )
+    Hcc = red[:, :36].reshape(C, 6, 6)
+    b_c = red[:, 36:42]
+    Hfc = red[:, 42:48]
+    rc_red = red[:, 48:54]
+    S_fc_corr = red[:, 54:60]
+
+    # --- assemble + dense solve (same damping/equilibration as before) ---
+    diagC = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-12)
+    Hcc_d = Hcc + jnp.eye(6, dtype=dtype) * (lam * diagC)[..., None, :] * (
+        jnp.eye(6, dtype=dtype)
+    )
+    S_cc = (-S_corr).at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
+    S_fc = Hfc - S_fc_corr
+    S_ff = Hff * (1.0 + lam) + 1e-12 - S_ff_corr
+    r_c = b_c - rc_red
+    r_f = b_f - rf_red
+    d_cam, d_f = _dense_schur_factor_solve(
+        S_cc, S_fc, S_ff, r_c, r_f, solve_dtype, dtype, C
+    )
+
+    # --- point back-substitution, gather-free: broadcast the camera step
+    # to slots with a one-hot MXU matmul (row C of the pad is zero, so
+    # padding slots contribute nothing), then contract against the ALREADY
+    # computed per-slot coupling tU — Wᵀ dx_c per point = Σ_{t,i} U·dx.
+    d_cam_pad = jnp.concatenate([d_cam, jnp.zeros((1, 6), dtype)], axis=0)
+    oh_bs = (
+        st.cam.reshape(P * Tmax, 1) == jnp.arange(C + 1)[None, :]
+    ).astype(dtype)
+    dc_s = (oh_bs @ d_cam_pad).reshape(P, Tmax, 6)
+    Wt_dx = jnp.sum(tU * dc_s[..., None], axis=(1, 2))    # (P, 3)
+    Ft_dx = tF_sum * d_f
+    rhs_p = -b_p - Wt_dx - Ft_dx
+    d_pts = jnp.sum(Hpp_inv * rhs_p[:, None, :], axis=-1)
     md = _model_decrease(
         lam, d_f, d_cam, d_pts, b_f, b_c, b_p, Hff, diagC,
         jnp.diagonal(Hpp, axis1=-2, axis2=-1),
@@ -620,6 +986,11 @@ def _dense_schur_factor_solve(S_cc, S_fc, S_ff, r_c, r_f, solve_dtype,
     dscale = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
     S_eq = S / dscale[:, None] / dscale[None, :]
     S_eq = S_eq + 1e-10 * jnp.eye(D, dtype=solve_dtype)
+    # XLA cholesky + triangular solves: measured 0.75 ms at D=385 inside
+    # the fused LM body (fori-marginal) — the blocked-scan alternative
+    # (ops/linalg.py::block_chol_solve) was 2× SLOWER in context (its 2·D/b
+    # sequential scan steps don't overlap with anything), so it is kept
+    # only for mesh-sharded paths where XLA's cholesky is unavailable.
     L = jnp.linalg.cholesky(S_eq)
     y = jax.scipy.linalg.solve_triangular(L, -(rhs / dscale), lower=True)
     dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
@@ -1203,26 +1574,35 @@ def _ba_lm_loop(
     p, max_iters, loss_scale, init_lambda, init_dec, ftol,
     solve_dtype, dtype, camera_solver, pcg_iters, pcg_rtol, pcg_coarse,
 ) -> BAResult:
+    # Slot-major tables for the dense-scan solver: loop-invariant gathers
+    # hoisted out of the while_loop (see _SlotTables).
+    st = _build_slot_tables(p, dtype) if camera_solver == "dense" else None
+
     def cost_of(state):
         f, ct, cr, pts = state
+        if camera_solver == "dense":
+            # Same value as ba_cost on a complete track table (the
+            # dense-scan dispatch requirement), with no per-obs gathers.
+            return _ba_cost_slots(f, ct, cr, pts, st, p, loss_scale)
         return ba_cost(f, ct, cr, pts, p, loss_scale)
 
     def body(carry):
         f, ct, cr, pts, lam, dec, cost, it, done, dc_prev, df_prev = carry
-        e, Jf, Jc, Jx = _per_obs_jacobians(f, ct, cr, pts, p)
         if camera_solver == "pcg":
+            e, Jf, Jc, Jx = _per_obs_jacobians(f, ct, cr, pts, p)
             d_f, d_cam, d_pts, md = _schur_solve_pcg(
                 e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype,
                 pcg_iters, pcg_rtol, pcg_coarse,
                 x0_c=dc_prev, x0_f=df_prev,
             )
         elif camera_solver == "dense_pairs":
+            e, Jf, Jc, Jx = _per_obs_jacobians(f, ct, cr, pts, p)
             d_f, d_cam, d_pts, md = _schur_solve_dense_pairs(
                 e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
             )
         else:
-            d_f, d_cam, d_pts, md = _schur_solve(
-                e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
+            d_f, d_cam, d_pts, md = _schur_solve_slots(
+                f, ct, cr, pts, st, p, lam, loss_scale, solve_dtype
             )
         f_n = f + d_f
         ct_n = ct + d_cam[:, :3]

@@ -412,3 +412,40 @@ def test_auto_dispatch_rules(monkeypatch):
     monkeypatch.setattr(_ba, "_DENSE_PAIRS_CAP", 1)
     p4, solver4 = _ba.prepare_problem(p_trunc, "auto")
     assert solver4 == "pcg", solver4
+
+
+def test_slot_schur_matches_obs_major():
+    """The slot-major dense Schur step (_schur_solve_slots) must reproduce
+    the obs-major _schur_solve step exactly (complete track table): same
+    d_focal / d_cam / d_points / model decrease, including freeze masks,
+    robust weights, and w=0 observations."""
+    from sphericalsfm_tpu.optim import ba as ba_mod
+
+    scene = make_scene(seed=3, noise=1.0)
+    for spherical, focal_fixed in [(True, True), (False, False)]:
+        p = build_problem(*scene, spherical=spherical,
+                          focal_fixed=focal_fixed)
+        # freeze an extra camera + a point to exercise the gauge masks
+        p = p._replace(
+            rot_fixed=jnp.asarray(np.array([True, False] * 6)),
+            point_fixed=jnp.asarray(
+                np.arange(p.points.shape[0]) % 7 == 0),
+        )
+        lam = jnp.asarray(1e-3, p.points.dtype)
+        e, Jf, Jc, Jx = ba_mod._per_obs_jacobians(
+            p.focal, p.cam_t, p.cam_r, p.points, p)
+        ref = ba_mod._schur_solve(e, Jf, Jc, Jx, p, lam, 1.0,
+                                  jnp.float64)
+        st = ba_mod._build_slot_tables(p, p.points.dtype)
+        new = ba_mod._schur_solve_slots(
+            p.focal, p.cam_t, p.cam_r, p.points, st, p, lam, 1.0,
+            jnp.float64)
+        for a, b, name in zip(ref, new, ["d_f", "d_cam", "d_pts", "md"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-7, atol=1e-10,
+                err_msg=f"{name} (spherical={spherical})")
+        # slot cost == obs-major cost on a complete table
+        c_ref = float(ba_cost(p.focal, p.cam_t, p.cam_r, p.points, p))
+        c_new = float(ba_mod._ba_cost_slots(
+            p.focal, p.cam_t, p.cam_r, p.points, st, p))
+        assert abs(c_new - c_ref) <= 1e-9 * max(1.0, c_ref)

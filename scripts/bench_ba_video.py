@@ -1,0 +1,132 @@
+"""Dense(slots) vs PCG on the REAL 256-frame video BA problem.
+
+Renders the bench_pipeline capture (cached to /tmp/sfm_r256_cache.npz),
+runs the actual calibrated driver up to the first bundle_adjust call,
+captures that exact BAProblem (pre-prepare, track table intact), then
+times each camera solver on it. This is the measurement behind the
+dense-vs-PCG dispatch crossover at video scale (VERDICT r3 weak #3/#4).
+
+Usage: python scripts/bench_ba_video.py [--frames 256] [--iters 20]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPHERICALSFM_TPU_X64", "0")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import sphericalsfm_tpu  # noqa: E402,F401
+from sphericalsfm_tpu.config import PipelineConfig  # noqa: E402
+from sphericalsfm_tpu.geometry import Intrinsics  # noqa: E402
+
+CACHE = "/tmp/sfm_r256_cache.npz"
+
+
+class _CaptureProblem(Exception):
+    pass
+
+
+def get_problem(frames, W, H):
+    focal = 0.8 * W
+    if os.path.exists(CACHE):
+        d = np.load(CACHE)
+        gray, color = d["gray"], d["color"]
+    else:
+        from sphericalsfm_tpu.eval.render import render_capture
+
+        t0 = time.time()
+        _, _, gray, color = render_capture(
+            num_frames=frames, focal=focal, width=W, height=H,
+            wave_freq=25.0 * (W / 320))
+        print(f"rendered in {time.time()-t0:.0f}s", flush=True)
+        np.savez(CACHE, gray=gray, color=color)
+
+    cfg = PipelineConfig()
+    cfg.frontend.matching = "windows"
+    cfg.frontend.max_keypoints = 1024
+    cfg.frontend.max_matches_per_pair = 512
+    cfg.ransac.num_hypotheses = 512
+    cfg.ransac.min_num_inliers = 30
+    cfg.ba.max_iters = 60
+    cfg.ba.solve_dtype = "float32"
+
+    from sphericalsfm_tpu.optim import ba as ba_mod
+    from sphericalsfm_tpu.pipeline import sfm as sfm_mod
+
+    captured = {}
+    orig = ba_mod.prepare_problem
+
+    def trap(p, camera_solver="auto", pcg_coarse=0):
+        captured["prob"] = p
+        raise _CaptureProblem
+
+    sfm_mod.prepare_problem = trap
+    try:
+        from sphericalsfm_tpu.pipeline.driver import run_calibrated
+
+        intr = Intrinsics(jnp.asarray(focal), jnp.asarray(W / 2.0),
+                          jnp.asarray(H / 2.0))
+        out = tempfile.mkdtemp()
+        try:
+            run_calibrated(None, intr, out, cfg, gray=gray, color=color)
+        except _CaptureProblem:
+            pass
+    finally:
+        sfm_mod.prepare_problem = orig
+    return captured["prob"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--size", default="640x480")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--solvers", nargs="*",
+                    default=["dense", "pcg"])
+    args = ap.parse_args()
+    W, H = (int(x) for x in args.size.split("x"))
+
+    from sphericalsfm_tpu.optim.ba import bundle_adjust, prepare_problem
+
+    raw = get_problem(args.frames, W, H)
+    C = raw.cam_t.shape[0]
+    P = raw.points.shape[0]
+    K = int(np.count_nonzero(np.asarray(raw.obs_w)))
+    tlen = np.asarray(raw.track_mask).sum(axis=1)
+    Tmax = raw.track_obs.shape[1]
+    print(f"problem: C={C} P={P} K={K} Tmax={Tmax} "
+          f"track mean={tlen[tlen > 0].mean():.1f} "
+          f"p95={np.percentile(tlen[tlen > 0], 95):.0f} "
+          f"slots={P * Tmax / 1e6:.1f}M "
+          f"fill={K / (P * Tmax):.3f}", flush=True)
+
+    for solver in args.solvers:
+        prob, s = prepare_problem(raw, solver)
+        kw = dict(camera_solver=s, solve_dtype_name="float32",
+                  ftol=1e-12, max_iters=args.iters)
+        if s == "pcg":
+            kw.update(pcg_rtol=1e-2, pcg_iters=25)
+        t0 = time.perf_counter()
+        res = bundle_adjust(prob, **kw)
+        cost_cold = float(res.cost)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = bundle_adjust(prob, **kw)
+        cost = float(res.cost)
+        dt = time.perf_counter() - t0
+        it = int(res.iterations)
+        print(f"{solver:12s}: {it/dt:6.2f} iters/s ({dt/it*1e3:7.1f} ms/iter)"
+              f" cost {cost:.6g} after {it} iters "
+              f"(cold {t_cold:.1f}s cost {cost_cold:.6g})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

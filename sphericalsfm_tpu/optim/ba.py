@@ -1434,8 +1434,19 @@ def prepare_problem(
         )
         track_complete = int(np.count_nonzero(tracked)) >= n_live
         scan_elems = p.points.shape[0] * p.track_obs.shape[1] * C
+        slots = p.points.shape[0] * p.track_obs.shape[1]
         npairs = count_cc_pairs(p)
-        if track_complete and scan_elems < 40 * max(npairs, 1):
+        # Crossover re-measured after the slot-major SoA rewrite of the
+        # scan solver (scripts/bench_ba_video.py, real 256-frame video map:
+        # C=264, K=195k, Tmax=53 → dense 91 ms/iter vs PCG 209, at LOWER
+        # cost per iteration): the scan's per-element cost dropped ~5×, so
+        # the old 40×-pairs rule (pre-rewrite constant) starved it. The
+        # slot-table HBM guard (~8M slots ≈ 5 GB peak of (P,T,·) payloads)
+        # keeps pathological long-track × many-point maps off the dense
+        # path.
+        if track_complete and slots <= 8_000_000 and (
+            scan_elems < 200 * max(npairs, 1)
+        ):
             camera_solver = "dense"
         else:
             camera_solver = "dense_pairs"

@@ -126,9 +126,12 @@ def run_frontend(
     if cache_path and os.path.exists(cache_path):
         log.start("load_frontend_cache")
         z = np.load(cache_path)
+        desc = z["descriptor"]
+        if desc.dtype == np.uint8:  # SIFT-quantized storage (×512)
+            desc = desc.astype(np.float32) / 512.0
         fr = FrontendResult(
             FrameFeatures(
-                xy=z["xy"], descriptor=z["descriptor"], valid=z["valid"],
+                xy=z["xy"], descriptor=desc, valid=z["valid"],
                 color=z["color"], counts=z["counts"],
                 width=int(z["width"]), height=int(z["height"]),
             ),
@@ -167,14 +170,23 @@ def run_frontend(
             mode=cfg.frontend.matching)
     fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
     if cache_path:
-        np.savez_compressed(
+        log.start("save_frontend_cache")
+        # Descriptors persist SIFT-quantized (uint8 ×512 — exactly the form
+        # they came off the device in, so the round-trip is lossless) and
+        # the archive is UNcompressed: zlib over the old 134 MB float
+        # descriptor block cost ~7 s of a 256-frame run by itself.
+        np.savez(
             cache_path,
-            xy=fr.feats.xy, descriptor=fr.feats.descriptor,
+            xy=fr.feats.xy,
+            descriptor=np.clip(
+                np.round(fr.feats.descriptor * 512.0), 0, 255
+            ).astype(np.uint8),
             valid=fr.feats.valid, color=fr.feats.color,
             counts=fr.feats.counts, width=fr.feats.width,
             height=fr.feats.height, pair_i=fr.pair_i, pair_j=fr.pair_j,
             idx0=fr.idx0, idx1=fr.idx1, mmask=fr.mmask,
         )
+        log.end(bytes=os.path.getsize(cache_path))
     return fr
 
 
@@ -331,8 +343,10 @@ def run_calibrated(
     log.end(**{f"ba3_{k}": v for k, v in stats3.items()},
             **{f"ba4_{k}": v for k, v in stats4.items()})
 
+    log.start("write_outputs")
     _write_outputs(m, output_dir, fr)
     _maybe_write_reproj_overlays(m, cfg, output_dir, video, gray)
+    log.end()
     if cfg.profile_dir:
         jax.profiler.stop_trace()
     return m
@@ -591,9 +605,11 @@ def run_uncalibrated(
         log.end(**{f"ba3_{k}": v for k, v in s3.items()},
                 **{f"ba4_{k}": v for k, v in s4.items()})
 
+    log.start("write_outputs")
     m.write_colmap(os.path.join(output_dir, "sparse", "final"), W, H)
     _write_outputs(m, output_dir, fr)
     _maybe_write_reproj_overlays(m, cfg, output_dir, video, gray)
+    log.end()
     with open(os.path.join(output_dir, "calib.txt"), "w") as f:
         focal_out = float(np.asarray(m.intrinsics.focal))
         f.write(f"{focal_out} {W / 2.0} {H / 2.0}\n")

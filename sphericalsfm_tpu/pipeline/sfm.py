@@ -247,7 +247,17 @@ class SfMMap:
         w = (self.obs_valid & usable_pt[self.obs_pt]).astype(float)
         if w.sum() == 0:
             return {}
-        track_obs, track_mask = build_tracks(self.obs_pt, self.num_points)
+        # Bucket the track axis like C below (8-aligned 1.25× ladder): the
+        # dense slot solver's compiled shape depends on Tmax, and the raw
+        # longest track changes after every retriangulation — one ~30 s XLA
+        # compile per BA pass without this. Bucketing UP keeps the table
+        # complete (extra slots are masked padding).
+        nmax = int(np.bincount(self.obs_pt, minlength=1).max()) or 1
+        Tb = 8
+        while Tb < nmax:
+            Tb = max(Tb + 8, int(Tb * 1.25) // 8 * 8)
+        track_obs, track_mask = build_tracks(
+            self.obs_pt, self.num_points, max_track=Tb)
         track_mask = track_mask & (w[track_obs] > 0)
 
         # Bucket the traced shapes (C to 1.25×-steps, P/K to powers of two)

@@ -96,7 +96,18 @@ def main():
 
     from sphericalsfm_tpu.optim.ba import bundle_adjust, prepare_problem
 
-    raw = get_problem(args.frames, W, H)
+    PROB_CACHE = "/tmp/ba_video_prob.npz"
+    if os.path.exists(PROB_CACHE):
+        from sphericalsfm_tpu.optim.ba import BAProblem
+
+        z = np.load(PROB_CACHE)
+        raw = BAProblem(**{k: (z[k] if k in z.files else None)
+                           for k in BAProblem._fields})
+    else:
+        raw = get_problem(args.frames, W, H)
+        np.savez(PROB_CACHE, **{
+            k: np.asarray(v) for k, v in raw._asdict().items()
+            if v is not None})
     C = raw.cam_t.shape[0]
     P = raw.points.shape[0]
     K = int(np.count_nonzero(np.asarray(raw.obs_w)))
@@ -107,6 +118,20 @@ def main():
           f"p95={np.percentile(tlen[tlen > 0], 95):.0f} "
           f"slots={P * Tmax / 1e6:.1f}M "
           f"fill={K / (P * Tmax):.3f}", flush=True)
+
+    # replicate the auto-dispatch inputs (prepare_problem) for debugging
+    from sphericalsfm_tpu.optim.ba import count_cc_pairs, sort_obs_by_camera
+
+    n_live = int(np.count_nonzero(np.asarray(raw.obs_w) > 0))
+    tracked = (np.asarray(raw.track_mask)
+               & (np.asarray(raw.obs_w)[np.asarray(raw.track_obs)] > 0))
+    npairs = count_cc_pairs(sort_obs_by_camera(raw))
+    print(f"dispatch: n_live={n_live} tracked={int(tracked.sum())} "
+          f"complete={int(tracked.sum()) >= n_live} "
+          f"scan_elems={P * Tmax * C / 1e6:.0f}M "
+          f"npairs={npairs / 1e6:.2f}M "
+          f"rule(scan<200*pairs)={P * Tmax * C < 200 * max(npairs, 1)}",
+          flush=True)
 
     for solver in args.solvers:
         prob, s = prepare_problem(raw, solver)

@@ -674,15 +674,20 @@ def _schur_solve_slots(
         S_cc, S_fc, S_ff, r_c, r_f, solve_dtype, dtype, C
     )
 
-    # --- point back-substitution, gather-free: broadcast the camera step
-    # to slots with a one-hot MXU matmul (row C of the pad is zero, so
-    # padding slots contribute nothing), then contract against the ALREADY
-    # computed per-slot coupling tU — Wᵀ dx_c per point = Σ_{t,i} U·dx.
+    # --- point back-substitution: broadcast the camera step to slots, then
+    # contract against the ALREADY computed per-slot coupling tU —
+    # Wᵀ dx_c per point = Σ_{t,i} U·dx. Two broadcast forms: a one-hot MXU
+    # matmul when the (P·T, C+1) operand is small (measured faster than the
+    # gather at the 64-cam bench shape), a row gather when materializing it
+    # would cost GBs of HBM traffic (video maps: C≈264 × 1.8M slots ≈ 2 GB).
     d_cam_pad = jnp.concatenate([d_cam, jnp.zeros((1, 6), dtype)], axis=0)
-    oh_bs = (
-        st.cam.reshape(P * Tmax, 1) == jnp.arange(C + 1)[None, :]
-    ).astype(dtype)
-    dc_s = (oh_bs @ d_cam_pad).reshape(P, Tmax, 6)
+    if P * Tmax * (C + 1) <= (64 << 20):
+        oh_bs = (
+            st.cam.reshape(P * Tmax, 1) == jnp.arange(C + 1)[None, :]
+        ).astype(dtype)
+        dc_s = (oh_bs @ d_cam_pad).reshape(P, Tmax, 6)
+    else:
+        dc_s = d_cam_pad[st.cam]
     Wt_dx = jnp.sum(tU * dc_s[..., None], axis=(1, 2))    # (P, 3)
     Ft_dx = tF_sum * d_f
     rhs_p = -b_p - Wt_dx - Ft_dx
@@ -1438,14 +1443,15 @@ def prepare_problem(
         npairs = count_cc_pairs(p)
         # Crossover re-measured after the slot-major SoA rewrite of the
         # scan solver (scripts/bench_ba_video.py, real 256-frame video map:
-        # C=264, K=195k, Tmax=53 → dense 91 ms/iter vs PCG 209, at LOWER
-        # cost per iteration): the scan's per-element cost dropped ~5×, so
-        # the old 40×-pairs rule (pre-rewrite constant) starved it. The
-        # slot-table HBM guard (~8M slots ≈ 5 GB peak of (P,T,·) payloads)
-        # keeps pathological long-track × many-point maps off the dense
-        # path.
+        # C=264, K=195k, Tmax=56, scan_elems=484M, npairs=1.78M → slot
+        # scan 91 ms/iter vs pairs/PCG ~210, at LOWER cost per iteration):
+        # per-scan-element ~0.19 ns vs per-pair ~120 ns ⇒ break-even ratio
+        # ~600; 500 keeps a safety margin (the old 40× was measured on the
+        # pre-rewrite gather-bound scan). The slot-table HBM guard (~8M
+        # slots ≈ 5 GB peak of (P,T,·) payloads) keeps pathological
+        # long-track × many-point maps off the dense path.
         if track_complete and slots <= 8_000_000 and (
-            scan_elems < 200 * max(npairs, 1)
+            scan_elems < 500 * max(npairs, 1)
         ):
             camera_solver = "dense"
         else:

@@ -155,13 +155,11 @@ def _quantize_desc(d):
 
 def _sample_colors(xy, valid, color, H, W):
     F, K = valid.shape
-    col = np.zeros((F, K, 3), np.uint8)
-    if color is not None:
-        xi = np.clip(xy[..., 0].astype(int), 0, W - 1)
-        yi = np.clip(xy[..., 1].astype(int), 0, H - 1)
-        for f in range(F):
-            col[f] = color[f][yi[f], xi[f]]
-    return col
+    if color is None:
+        return np.zeros((F, K, 3), np.uint8)
+    xi = np.clip(xy[..., 0].astype(np.int64), 0, W - 1)
+    yi = np.clip(xy[..., 1].astype(np.int64), 0, H - 1)
+    return color[np.arange(F)[:, None], yi, xi]
 
 
 def _detect_opencv(gray, color, cfg: FrontendConfig) -> FrameFeatures:

@@ -469,6 +469,11 @@ def block_chol_solve(S: jnp.ndarray, rhs: jnp.ndarray,
                      block: int = 8) -> jnp.ndarray:
     """Dense SPD solve S x = rhs via a block-column Cholesky scan.
 
+    Currently bench/test-only: the production dense Schur step measured 2×
+    FASTER with XLA's cholesky+triangular solves in context (optim/ba.py
+    dense path), so no pipeline code calls this. Kept as the measured
+    alternative and for `scripts/profile_dense_solve.py` comparisons.
+
     TPU replacement for `jnp.linalg.cholesky` + two `solve_triangular`
     calls: XLA lowers those to while-loops whose sequential depth is O(D)
     tiny steps (measured ~4-5 ms at D=385 on v5e — the dominant cost of the

@@ -218,8 +218,8 @@ def _soa_rodrigues(r0, r1, r2, x0, x1, x2):
     the tiny minor dims (measured 3.2 ms/step of the 64-cam bench Schur
     step; this form is ~0.1 ms). Small-angle guards mirror
     geometry/so3.py::_exp exactly. Returns (p0, p1, p2, aux) where aux
-    carries (theta2, theta_safe, small, a, b, c, d) for the analytic
-    Jacobian."""
+    carries (theta_safe, small, a, b, (c0,c1,c2), (d0,d1,d2)) for the
+    analytic Jacobian."""
     theta2 = r0 * r0 + r1 * r1 + r2 * r2
     theta = jnp.sqrt(theta2)
     small = theta2 < 1e-16

@@ -171,16 +171,23 @@ def run_frontend(
     fr = FrontendResult(feats, pair_i, pair_j, idx0, idx1, mmask)
     if cache_path:
         log.start("save_frontend_cache")
-        # Descriptors persist SIFT-quantized (uint8 ×512 — exactly the form
-        # they came off the device in, so the round-trip is lossless) and
-        # the archive is UNcompressed: zlib over the old 134 MB float
-        # descriptor block cost ~7 s of a 256-frame run by itself.
+        # TPU-detector descriptors persist SIFT-quantized (uint8 ×512 —
+        # exactly the form they came off the device in, so the round-trip
+        # is lossless). The OpenCV backend returns L2-normalized floats
+        # that are NOT 1/512 multiples (and can exceed 255/512), so it
+        # stores float as-is. Either way the archive is UNcompressed: zlib
+        # over the old 134 MB float descriptor block cost ~7 s of a
+        # 256-frame run by itself.
+        if cfg.frontend.detector == "opencv":
+            desc_store = fr.feats.descriptor
+        else:
+            desc_store = np.clip(
+                np.round(fr.feats.descriptor * 512.0), 0, 255
+            ).astype(np.uint8)
         np.savez(
             cache_path,
             xy=fr.feats.xy,
-            descriptor=np.clip(
-                np.round(fr.feats.descriptor * 512.0), 0, 255
-            ).astype(np.uint8),
+            descriptor=desc_store,
             valid=fr.feats.valid, color=fr.feats.color,
             counts=fr.feats.counts, width=fr.feats.width,
             height=fr.feats.height, pair_i=fr.pair_i, pair_j=fr.pair_j,

@@ -449,3 +449,36 @@ def test_slot_schur_matches_obs_major():
         c_new = float(ba_mod._ba_cost_slots(
             p.focal, p.cam_t, p.cam_r, p.points, st, p))
         assert abs(c_new - c_ref) <= 1e-9 * max(1.0, c_ref)
+
+
+def test_obs_major_soa_jacobians_match_autodiff():
+    """`_per_obs_jacobians_soa` (analytic SoA planes, r5) must reproduce the
+    vmapped-jacfwd obs-major Jacobians and `_ba_cost_obs_soa` the obs-major
+    cost — the PCG/dense_pairs LM loops now run the SoA forms."""
+    from sphericalsfm_tpu.optim import ba as ba_mod
+
+    scene = make_scene(seed=13, C=16, P=80, noise=0.4)
+    for spherical in (True, False):
+        p = build_problem(*scene, spherical=spherical, focal_fixed=False)
+        # perturb so rotations are generic (incl. near-zero angles)
+        rng = np.random.default_rng(5)
+        p = p._replace(
+            cam_r=p.cam_r + jnp.asarray(
+                rng.normal(size=p.cam_r.shape) * 0.05
+            ).at[3].set(0.0),
+            points=p.points * (1.0 + 0.01 * jnp.asarray(
+                rng.normal(size=p.points.shape))),
+        )
+        e_r, Jf_r, Jc_r, Jx_r = ba_mod._per_obs_jacobians(
+            p.focal, p.cam_t, p.cam_r, p.points, p)
+        e_s, Jf_s, Jc_s, Jx_s = ba_mod._per_obs_jacobians_soa(
+            p.focal, p.cam_t, p.cam_r, p.points, p)
+        for a, b, name in ((e_r, e_s, "e"), (Jf_r, Jf_s, "Jf"),
+                           (Jc_r, Jc_s, "Jc"), (Jx_r, Jx_s, "Jx")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12,
+                err_msg=f"{name} (spherical={spherical})")
+        c_ref = float(ba_cost(p.focal, p.cam_t, p.cam_r, p.points, p))
+        c_soa = float(ba_mod._ba_cost_obs_soa(
+            p.focal, p.cam_t, p.cam_r, p.points, p))
+        assert abs(c_soa - c_ref) <= 1e-9 * max(1.0, c_ref)

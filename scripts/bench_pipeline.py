@@ -26,7 +26,8 @@ import jax.numpy as jnp  # noqa: E402
 import sphericalsfm_tpu  # noqa: E402,F401
 from sphericalsfm_tpu.config import PipelineConfig  # noqa: E402
 from sphericalsfm_tpu.eval.metrics import ate  # noqa: E402
-from sphericalsfm_tpu.geometry import Intrinsics, so3_exp  # noqa: E402
+from sphericalsfm_tpu.geometry import Intrinsics  # noqa: E402
+from sphericalsfm_tpu.geometry.so3 import np_so3_exp  # noqa: E402
 from sphericalsfm_tpu.pipeline.driver import run_calibrated  # noqa: E402
 
 
@@ -109,7 +110,7 @@ def main():
             rec = json.loads(line)
             stages[rec["stage"]] = round(rec["seconds"], 2)
 
-    R_gt = np.asarray(so3_exp(jnp.asarray(cam_r_gt)))
+    R_gt = np_so3_exp(np.asarray(cam_r_gt, np.float64))
     centers_gt = -np.einsum("cji,cj->ci", R_gt, cam_t_gt)
     err = float(ate(jnp.asarray(np.asarray(m.centers(), np.float64)),
                     jnp.asarray(centers_gt)))

@@ -91,7 +91,7 @@ def run_sequence(spec, out_root):
     from sphericalsfm_tpu.eval.relpose_eval import evaluate_models
     from sphericalsfm_tpu.eval.render import render_capture
     from sphericalsfm_tpu.eval.synthetic import corrupt_match_table
-    from sphericalsfm_tpu.geometry.so3 import np_so3_exp, so3_exp
+    from sphericalsfm_tpu.geometry.so3 import np_so3_exp
     from sphericalsfm_tpu.io.colmap import rotmat_to_quat
     from sphericalsfm_tpu.pipeline.driver import (
         StageLogger, run_frontend, run_uncalibrated,
@@ -137,7 +137,7 @@ def run_sequence(spec, out_root):
     # write the rendered ground truth as a COLMAP text model
     gt_dir = os.path.join(out, "gt")
     os.makedirs(gt_dir, exist_ok=True)
-    Rs = np.asarray(so3_exp(jnp.asarray(cam_r)))
+    Rs = np_so3_exp(np.asarray(cam_r, np.float64))
     with open(os.path.join(gt_dir, "cameras.txt"), "w") as f:
         f.write(f"1 SIMPLE_PINHOLE {w} {h} {spec['focal']} {w/2} {h/2}\n")
     with open(os.path.join(gt_dir, "images.txt"), "w") as f:

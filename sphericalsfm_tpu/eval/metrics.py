@@ -27,8 +27,12 @@ def frobenius_error(E_est: jnp.ndarray, E_gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_error_deg(R_est: jnp.ndarray, R_gt: jnp.ndarray) -> jnp.ndarray:
-    """Geodesic rotation error in degrees."""
-    return jnp.degrees(rotation_angle(R_est @ jnp.swapaxes(R_gt, -1, -2)))
+    """Geodesic rotation error in degrees (elementwise trace form — the
+    matmul form hit the TPU MXU's bf16 default precision, a degree-level
+    error on small angles; see so3.rotation_geodesic)."""
+    from ..geometry.so3 import rotation_geodesic
+
+    return jnp.degrees(rotation_geodesic(R_est, R_gt))
 
 
 def translation_angle_deg(t_est: jnp.ndarray, t_gt: jnp.ndarray) -> jnp.ndarray:

@@ -40,6 +40,14 @@ def _render_frames(
 ):
     """Scan over frames; block rows so the (B*W, n_waves) intermediate is
     bounded (a full VGA frame would materialize ~740 MB per frame)."""
+    # HIGHEST matmul precision throughout: at the MXU default (f32 inputs
+    # rounded to bf16) the ray-direction and wave-phase products render a
+    # smoothly WARPED scene — pixel-scale, geometry-coherent texture
+    # displacement that the pipeline then faithfully reconstructs. Found in
+    # round 5: general BA on TPU-rendered sequences converged to ATE 0.26
+    # "distortions" that fit the rendered observations 2.7x better than the
+    # analytic ground truth did (f800_140: GT-pose optimal-point median
+    # residual 0.55 px vs the fitted model's 0.205 px).
     ys, xs = jnp.mgrid[0:height, 0:width]
     dirs_cam = jnp.stack(
         [
@@ -56,20 +64,24 @@ def _render_frames(
     )
     R = so3_exp(cam_r).astype(jnp.float32)     # (F, 3, 3)
 
+    hp = jax.lax.Precision.HIGHEST
+
     def one_frame(_, rt):
         Ri, ti = rt
-        center = -Ri.T @ ti                    # camera center in world
+        center = -jnp.matmul(Ri.T, ti, precision=hp)  # camera center
 
         def one_block(_, dirs_b):              # (B, W, 3)
-            d = dirs_b @ Ri                    # rows of R^T·dir = dir @ R
+            d = jnp.matmul(dirs_b, Ri, precision=hp)  # R^T·dir rows
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            cd = d @ center
+            cd = jnp.matmul(d, center, precision=hp)
             tt = -cd + jnp.sqrt(
-                jnp.maximum(cd * cd - center @ center + r2, 0.0)
+                jnp.maximum(cd * cd - jnp.sum(center * center) + r2, 0.0)
             )
             p = center + d * tt[..., None]     # (B, W, 3) on the sphere
-            ph = p.reshape(-1, 3) @ wvec.T + phase
-            return None, (jnp.cos(ph) @ amp).reshape(dirs_b.shape[:2])
+            ph = jnp.matmul(p.reshape(-1, 3), wvec.T, precision=hp) + phase
+            return None, jnp.matmul(
+                jnp.cos(ph), amp, precision=hp
+            ).reshape(dirs_b.shape[:2])
 
         _, tex = jax.lax.scan(one_block, None, dirs_blocked)
         tex = tex.reshape(n_blocks * row_block, width)[:height]

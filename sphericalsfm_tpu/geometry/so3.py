@@ -49,7 +49,15 @@ def _exp(r, xp):
         (1.0 - xp.cos(theta_safe)) / (theta_safe * theta_safe),
     )
     K = _skew(r, xp)
-    K2 = K @ K
+    # K² = r rᵀ − θ² I (closed form for skew matrices): elementwise, no
+    # matmul. K @ K on TPU went through the MXU, whose DEFAULT precision
+    # rounds f32 inputs to bf16 — every so3_exp rotation picked up ~1e-2
+    # absolute error (~0.6°), which silently corrupted all COLMAP/NeRF
+    # writer output and the evaluation built on it (found round 5 when the
+    # written models scored 4× the in-memory reprojection error).
+    K2 = r[..., :, None] * r[..., None, :] - theta2[..., None, None] * (
+        xp.eye(3, dtype=r.dtype)
+    )
     eye = xp.broadcast_to(xp.eye(3, dtype=r.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * K2
 
@@ -170,5 +178,13 @@ def rotation_angle(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_geodesic(Ra: jnp.ndarray, Rb: jnp.ndarray) -> jnp.ndarray:
-    """Geodesic angle between two rotations, (..., 3, 3) x2 -> (...,)."""
-    return rotation_angle(Ra @ jnp.swapaxes(Rb, -1, -2))
+    """Geodesic angle between two rotations, (..., 3, 3) x2 -> (...,).
+
+    trace(Ra Rbᵀ) = Σ_ij Ra∘Rb computed elementwise — the Ra @ Rbᵀ matmul
+    form went through the TPU MXU, whose default precision rounds f32
+    inputs to bf16 (~1e-2 error on the cosine, a degree-level error on the
+    angle — far above the thresholds the evaluation metrics compare at)."""
+    cos_angle = jnp.clip(
+        (jnp.sum(Ra * Rb, axis=(-2, -1)) - 1.0) * 0.5, -1.0, 1.0
+    )
+    return jnp.arccos(cos_angle)

@@ -71,9 +71,12 @@ def quat_to_rotmat(q: np.ndarray) -> np.ndarray:
 # --- text model writer ------------------------------------------------------
 
 def write_colmap_text(sfm_map, sparse_dir: str, width: int, height: int):
-    """Write cameras.txt / images.txt / points3D.txt like the reference."""
-    from ..geometry.so3 import so3_exp  # local import to avoid cycles
-    import jax.numpy as jnp
+    """Write cameras.txt / images.txt / points3D.txt like the reference.
+
+    Host-numpy exp: writers must not touch the device (tunnel dispatch) and
+    the jnp path once silently corrupted written rotations via the MXU's
+    bf16 default precision (see geometry/so3.py::_exp)."""
+    from ..geometry.so3 import np_so3_exp  # local import to avoid cycles
 
     os.makedirs(sparse_dir, exist_ok=True)
     focal = float(np.asarray(sfm_map.intrinsics.focal))
@@ -87,7 +90,7 @@ def write_colmap_text(sfm_map, sparse_dir: str, width: int, height: int):
         f.write(f"1 SIMPLE_PINHOLE {width} {height} {focal:.6f} {cx:.6f} {cy:.6f}\n")
 
     valid_pt = sfm_map.point_valid()
-    R_all = np.asarray(so3_exp(jnp.asarray(sfm_map.cam_r)))
+    R_all = np_so3_exp(np.asarray(sfm_map.cam_r, np.float64))
     point_obs: Dict[int, list] = {j: [] for j in range(sfm_map.num_points)}
 
     with open(os.path.join(sparse_dir, "images.txt"), "w") as f:

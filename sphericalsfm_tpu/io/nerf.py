@@ -16,7 +16,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..geometry.so3 import so3_exp
+from ..geometry.so3 import np_so3_exp
 
 
 def read_poses(path: str):
@@ -69,7 +69,7 @@ def poses_to_nerf_json(
     the OpenGL-style (y,z flip) convention, rotate the average up-vector to
     +z, recenter on the center of attention, scale to ~4 units.
     """
-    R = np.asarray(so3_exp(jnp.asarray(rs)))
+    R = np_so3_exp(np.asarray(rs, np.float64))
     c2w = np.zeros((len(ts), 4, 4))
     for i in range(len(ts)):
         c2w[i, :3, :3] = R[i].T

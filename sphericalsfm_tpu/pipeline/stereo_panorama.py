@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry.so3 import so3_exp, so3_log
+from ..geometry.so3 import np_so3_exp, so3_exp, so3_log
 from ..ops.optical_flow import horn_schunck_flow
 from ..ransac.plane import plane_ransac
 from ..io.nerf import read_poses
@@ -46,7 +46,8 @@ class PanoKeyframes(NamedTuple):
 
 
 def _rotmats(r):
-    return np.asarray(so3_exp(jnp.asarray(r)))
+    # host-numpy: no device dispatch for a host-side pose transform
+    return np_so3_exp(np.asarray(r, np.float64))
 
 
 def _rotation_from_to(a, b):

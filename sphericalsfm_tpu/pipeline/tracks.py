@@ -162,7 +162,9 @@ def filter_triplet_cycles(
     idx = {}
     for p in np.nonzero(keep)[0]:
         idx[(int(pair_i[p]), int(pair_j[p]))] = p
-    R = np.asarray(so3_exp(np.asarray(r_rel)))
+    from ..geometry.so3 import np_so3_exp
+
+    R = np_so3_exp(np.asarray(r_rel, np.float64))
 
     import collections
 
@@ -183,7 +185,8 @@ def filter_triplet_cycles(
             if p_ab is None or p_bc is None or p_ac is None:
                 continue
             cycle = R[p_bc] @ R[p_ab] @ R[p_ac].T
-            err = float(rotation_angle(cycle))
+            err = float(np.arccos(np.clip(
+                (np.trace(cycle) - 1.0) * 0.5, -1.0, 1.0)))
             for p in (p_ab, p_bc, p_ac):
                 in_triplet[p] = True
                 if err < thresh:

@@ -18,7 +18,7 @@ import re
 import sys
 
 os.environ.setdefault("SPHERICALSFM_TPU_X64", "0")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=32")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
@@ -62,6 +62,85 @@ def scene(C, W, P):
     return make_ring_scene(C=C, W=W, P=P)
 
 
+def stage_rows():
+    """Per-stage collective bytes + per-shard work for the sharded frontend
+    stages the drivers actually run distributed (VERDICT r4 item 7: the BA
+    proxy alone did not cover detection / ring matching / pairwise RANSAC).
+    Lowered at 8/16/32-way meshes from compiled HLO."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sphericalsfm_tpu.parallel.ring_matching import ring_exhaustive_match
+    from sphericalsfm_tpu.parallel.sharded import make_mesh
+    from sphericalsfm_tpu.ransac.spherical import spherical_ransac
+
+    H, W, KP = 240, 320, 512
+    K, D, M = 512, 128, 256
+    CORR, HYP = 256, 512
+    print("\n== driver-stage comms proxy (collective bytes per call from "
+          "compiled HLO; compute per shard analytic) ==")
+    print(f"workloads: detect {W}x{H}/{KP}kp, ring-match K={K} D={D} "
+          f"M={M}, RANSAC {CORR} corr x {HYP} hyp")
+    for n in (8, 16, 32):
+        mesh = make_mesh(n)
+        axis = mesh.axis_names[0]
+
+        # --- detection: F = 2n frames sharded on the frame axis ----------
+        from sphericalsfm_tpu.parallel.sharded import sharded_detect
+
+        F = 2 * n
+        imgs = jnp.zeros((F, H, W), jnp.float32)
+        txt = sharded_detect.lower(
+            mesh, imgs, max_keypoints=KP, num_octaves=3
+        ).compile().as_text()
+        cb_d = collective_bytes(txt)
+        flops_detect = F // n * (H * W * 3 * 6 * 13 * 2)  # pyramid convs
+
+        # --- ring matching: F frames of descriptors around the ring ------
+        desc = jnp.zeros((F, K, D), jnp.float32)
+        val = jnp.ones((F, K), bool)
+        txt = ring_exhaustive_match.lower(
+            mesh, desc, val, max_matches=M
+        ).compile().as_text()
+        cb_r = collective_bytes(txt)
+        Bf = F // n
+        flops_ring = n * (Bf * Bf * K * K * D * 2)  # per shard, all steps
+
+        # --- pairwise RANSAC: 4n pairs sharded on the pair axis ----------
+        Pn = 4 * n
+        spec = NamedSharding(mesh, P(axis))
+        keys = jax.random.split(jax.random.PRNGKey(0), Pn)
+        u = jnp.zeros((Pn, CORR, 3), jnp.float32)
+        msk = jnp.ones((Pn, CORR), bool)
+
+        fn = jax.jit(
+            jax.vmap(lambda k, uu, vv, mm: spherical_ransac(
+                k, uu, vv, mm, sq_thresh=jnp.float32(1e-5),
+                num_hypotheses=HYP)),
+            in_shardings=(spec, spec, spec, spec),
+        )
+        txt = fn.lower(keys, u, u, msk).compile().as_text()
+        cb_s = collective_bytes(txt)
+        flops_ransac = Pn // n * (HYP * CORR * 9 * 2 * 4)
+
+        for name, cb, fl, per_shard_in in (
+            ("detect", cb_d, flops_detect, F // n * H * W * 4),
+            ("ring-match", cb_r, flops_ring, Bf * K * D * 4),
+            ("ransac", cb_s, flops_ransac, Pn // n * CORR * 3 * 4 * 2),
+        ):
+            tot = sum(cb.values())
+            detail = ", ".join(
+                f"{k}={v / 1e6:.2f}MB" for k, v in sorted(cb.items())
+            ) or "none"
+            # v5e: ~186 GB/s ICI per link, ~49 f32 MXU Tflop/s
+            t_comm = tot / 186e9
+            t_comp = fl / 49e12
+            ratio = t_comm / max(t_comp, 1e-12)
+            print(f"mesh={n:2d} {name:10s} collectives={tot / 1e6:8.3f} MB "
+                  f"({detail})  per-shard-in={per_shard_in / 1e6:.2f} MB  "
+                  f"comm/compute~{ratio:.3f}", flush=True)
+
+
 def main():
     from sphericalsfm_tpu.optim.ba import (
         _bundle_adjust_jit, prepare_problem,
@@ -103,6 +182,8 @@ def main():
     # costs ~13 us/hop — report the ratio against one LM iteration's compute
     print("\nproxy: iteration is compute-bound while "
           "(collective MB / 186 GB/s) << per-iteration wall time")
+
+    stage_rows()
 
 
 if __name__ == "__main__":

@@ -138,7 +138,9 @@ def _coefficient_matrix(B: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sigma_min(C: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.svd(C, compute_uv=False)[..., -1]
+    from ..ops.linalg import sigma_min_small
+
+    return sigma_min_small(C)
 
 
 @partial(jax.jit, static_argnames=("num_focal_samples", "polish_steps"))

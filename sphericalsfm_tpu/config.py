@@ -46,7 +46,17 @@ class GraphConfig:
     num_frames_begin: int = 30         # loop-closure search windows
     num_frames_end: int = 30
     best_only: bool = False
-    sequential: bool = True            # rotation init strategy
+    # Rotation init strategy. False = heaviest-spanning-tree / global init,
+    # the reference driver's default (run_spherical_sfm_uncalib.cpp:27,
+    # DEFINE_bool(sequential, false, ...)). The adjacent-pair chain is NOT
+    # the safe default: on wide-FOV captures whose pairwise rotations come
+    # out ~2x at the focal GUESS, a 100-frame chain totals two full turns —
+    # which also closes the loop, so the focal search's loop-consistency
+    # cost develops a spurious minimum at the guess (found round 5:
+    # wide_f280 eval sequence locked onto f=571 instead of 280 with
+    # sequential=True; the spanning tree pulls closure edges into the init
+    # and breaks the alias).
+    sequential: bool = False
     triplet_filter_deg: float = 2.0
 
 

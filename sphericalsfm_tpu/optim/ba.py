@@ -288,10 +288,16 @@ def _per_obs_jacobians_soa(focal, cam_t, cam_r, points, p: BAProblem):
     )
 
 
-def _soa_jacobians(focal, t0, t1, t2, r0, r1, r2, x0, x1, x2, uv0, uv1):
-    """Analytic residual + Jacobian blocks from SoA component planes of any
-    shape (...,): used slot-major (P, T) by the dense solver and obs-major
-    (K,) by PCG/dense_pairs.
+def _soa_jacobian_planes(focal, t0, t1, t2, r0, r1, r2, x0, x1, x2,
+                         uv0, uv1):
+    """Analytic residual + Jacobian blocks as PLANE TUPLES of any shape
+    (...,): the stacked-array wrapper `_soa_jacobians` serves the dense
+    slot solver; the plane form feeds the plane-major PCG assembly (a
+    (K, 2, 6) array tiles at ~1% TPU lane occupancy — every op touching
+    one ran ~20-50x off the memory roofline, measured round 5).
+
+    Returns (e0, e1), (q0, q1), jc, jx where jc is a 6-list and jx a
+    3-list of (d0, d1) column tuples (∂e0/∂θ_j, ∂e1/∂θ_j).
 
     The Jacobian is ANALYTIC in SoA form — the same chain rule jacfwd
     traces through `_packed_resid`, hand-expanded so every term is a full
@@ -310,10 +316,8 @@ def _soa_jacobians(focal, t0, t1, t2, r0, r1, r2, x0, x1, x2, uv0, uv1):
     fz = focal / z
     q0 = p0 / z
     q1 = p1 / z
-    e = jnp.stack([focal * q0 - uv0, focal * q1 - uv1], axis=-1)
-
-    # ∂e/∂f — the focal column (P, T, 2, 1).
-    Jf = jnp.stack([q0, q1], axis=-1)[..., None]
+    e0 = focal * q0 - uv0
+    e1 = focal * q1 - uv1
 
     # ∂a/∂θ / θ and ∂b/∂θ / θ with so3_exp's Taylor limits (the guarded
     # branch derivative jacfwd takes through the `where`s).
@@ -351,36 +355,44 @@ def _soa_jacobians(focal, t0, t1, t2, r0, r1, r2, x0, x1, x2, uv0, uv1):
               (-r2 * x0, -r2 * x1, r0 * x0 + r1 * x1)),
     ]
 
-    def proj_cols(cols3):
+    def proj(dp0, dp1, dp2):
         # chain through the projection: de = fz · (dp_xy − q · dp_z)
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [fz * (dp0 - q0 * dp2), fz * (dp1 - q1 * dp2)],
-                    axis=-1,
-                )
-                for (dp0, dp1, dp2) in cols3
-            ],
-            axis=-1,
-        )
+        return (fz * (dp0 - q0 * dp2), fz * (dp1 - q1 * dp2))
 
     # ∂p/∂t = I → columns (fz, 0), (0, fz), (−fz q0, −fz q1).
-    Jt = proj_cols([(jnp.ones_like(p0), zero, zero),
-                    (zero, jnp.ones_like(p0), zero),
-                    (zero, zero, jnp.ones_like(p0))])
-    Jr = proj_cols(dr_cols)
+    one = jnp.ones_like(p0)
+    jc = [proj(one, zero, zero), proj(zero, one, zero),
+          proj(zero, zero, one)]
+    jc += [proj(*cols) for cols in dr_cols]
     # ∂p/∂X = R, reconstructed column-wise from the same primal pieces:
     # R e_k = e_k + a (r × e_k) + b (r × (r × e_k)).
     rr0, rr1, rr2 = r0 * r0, r1 * r1, r2 * r2
-    Jx = proj_cols([
-        (1.0 - b * (rr1 + rr2), a * r2 + b * r0 * r1,
-         -a * r1 + b * r0 * r2),
-        (-a * r2 + b * r0 * r1, 1.0 - b * (rr0 + rr2),
-         a * r0 + b * r1 * r2),
-        (a * r1 + b * r0 * r2, -a * r0 + b * r1 * r2,
-         1.0 - b * (rr0 + rr1)),
-    ])
-    return e, Jf, jnp.concatenate([Jt, Jr], axis=-1), Jx
+    jx = [
+        proj(1.0 - b * (rr1 + rr2), a * r2 + b * r0 * r1,
+             -a * r1 + b * r0 * r2),
+        proj(-a * r2 + b * r0 * r1, 1.0 - b * (rr0 + rr2),
+             a * r0 + b * r1 * r2),
+        proj(a * r1 + b * r0 * r2, -a * r0 + b * r1 * r2,
+             1.0 - b * (rr0 + rr1)),
+    ]
+    return (e0, e1), (q0, q1), jc, jx
+
+
+def _soa_jacobians(focal, t0, t1, t2, r0, r1, r2, x0, x1, x2, uv0, uv1):
+    """Stacked-array wrapper over `_soa_jacobian_planes` (same shapes as
+    `_per_obs_jacobians`)."""
+    (e0, e1), (q0, q1), jc, jx = _soa_jacobian_planes(
+        focal, t0, t1, t2, r0, r1, r2, x0, x1, x2, uv0, uv1
+    )
+    e = jnp.stack([e0, e1], axis=-1)
+    Jf = jnp.stack([q0, q1], axis=-1)[..., None]
+    Jc = jnp.stack(
+        [jnp.stack([d0, d1], axis=-1) for (d0, d1) in jc], axis=-1
+    )
+    Jx = jnp.stack(
+        [jnp.stack([d0, d1], axis=-1) for (d0, d1) in jx], axis=-1
+    )
+    return e, Jf, Jc, Jx
 
 
 def _ba_cost_obs_soa(focal, cam_t, cam_r, points, p: BAProblem,
@@ -928,6 +940,214 @@ def _assemble_reduced(e, Jf, Jc, Jx, p: BAProblem, lam, loss_scale,
     )
 
 
+def _sorted_segment_sum_T(xT: jnp.ndarray, ptr: jnp.ndarray) -> jnp.ndarray:
+    """Plane-major twin of `_sorted_segment_sum`: xT (d, K) → (S, d).
+
+    Same two-level scheme and the same three numerics defenses
+    (mean-centering, split Bpart/Wpart differencing, exact seg_len·μ
+    add-back), but laid out for the TPU: each plane is a contiguous (K,)
+    row (full 8×128 tiling — the row-major (K, d) form puts d in the lanes
+    at d/128 occupancy), and the within-block inclusive prefix runs as ONE
+    batched 128×128 lower-triangular matmul on the MXU at HIGHEST
+    precision instead of a sublane-axis cumsum (measured 2.6× on the
+    (96, 1M) camera-side assembly reduction, and the callers avoid the
+    (K, d) interleaved stores entirely)."""
+    d, K = xT.shape
+    B = 128
+    nb = max(1, -(-K // B))
+    dtype = xT.dtype
+    mu = jnp.mean(xT, axis=1, keepdims=True)
+    xT = xT - mu
+    xp = jnp.zeros((d, nb * B), dtype).at[:, :K].set(xT)
+    blocks = xp.reshape(d, nb, B)
+    Ltri = jnp.tril(jnp.ones((B, B), dtype))
+    # pcum[d, n, c] = Σ_{b ≤ c} blocks[d, n, b] — cumsum as MXU matmul
+    pcum = jax.lax.dot_general(
+        blocks, Ltri, (((2,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    bsums = pcum[:, :, -1]                                # (d, nb)
+    bcum_ex = jnp.concatenate(
+        [jnp.zeros((d, 1), dtype), jnp.cumsum(bsums, axis=1)[:, :-1]],
+        axis=1,
+    )
+    idx = jnp.clip(ptr, 0, nb * B)
+    bi = jnp.minimum(idx // B, nb - 1)
+    off = idx - bi * B
+    row = bi * B + jnp.maximum(off - 1, 0)
+    Wpart = pcum.reshape(d, nb * B)[:, row] * (
+        (off > 0)[None, :].astype(dtype)
+    )
+    Bpart = bcum_ex[:, bi]
+    seg_len = (ptr[1:] - ptr[:-1]).astype(dtype)[None, :]
+    out = (
+        (Bpart[:, 1:] - Bpart[:, :-1])
+        + (Wpart[:, 1:] - Wpart[:, :-1])
+        + seg_len * mu
+    )
+    return out.T
+
+
+def _assemble_reduced_planes(focal, cam_t, cam_r, points, p: BAProblem,
+                             lam, loss_scale, solve_dtype) -> _ReducedSystem:
+    """Plane-major `_assemble_reduced`: Jacobians, robust weighting, and
+    every per-obs product stay (K,) component planes until the one stacked
+    (d, K) segment-sum input — no (K, 2, 6)/(K, 6, 3) intermediates (whose
+    ~1-10% TPU tile occupancy made the row-major assembly run ~20× off the
+    memory roofline: 142 ms of the 172 ms PCG LM step at 2000 cams/1M obs,
+    measured round 5). Produces the identical _ReducedSystem (same column
+    order; symmetric entries share plane objects, so the decode matches
+    `_assemble_reduced` exactly)."""
+    C = p.cam_t.shape[0]
+    Pn = p.points.shape[0]
+    tg = cam_t[p.obs_cam]
+    rg = cam_r[p.obs_cam]
+    Xg = points[p.obs_pt]
+    (e0, e1), (q0, q1), jc, jx = _soa_jacobian_planes(
+        focal, tg[:, 0], tg[:, 1], tg[:, 2],
+        rg[:, 0], rg[:, 1], rg[:, 2],
+        Xg[:, 0], Xg[:, 1], Xg[:, 2],
+        p.obs_uv[:, 0], p.obs_uv[:, 1],
+    )
+    dtype = e0.dtype
+
+    # --- robust weights + frozen-parameter masks (plane form of
+    # _weight_and_mask: sw into every block, masks zero frozen columns) ---
+    s = e0 * e0 + e1 * e1
+    w = cauchy_weight(s, loss_scale) * p.obs_w
+    sw = jnp.sqrt(w)
+    e0w = e0 * sw
+    e1w = e1 * sw
+    free_f = jnp.where(p.focal_fixed, 0.0, 1.0).astype(dtype)
+    f0 = q0 * sw * free_f
+    f1 = q1 * sw * free_f
+    sw_t = (~p.trans_fixed).astype(dtype)[p.obs_cam] * sw
+    sw_r = (~p.rot_fixed).astype(dtype)[p.obs_cam] * sw
+    sw_x = (~p.point_fixed).astype(dtype)[p.obs_pt] * sw
+    jcw = [(d0 * m, d1 * m) for (d0, d1), m in
+           zip(jc, [sw_t] * 3 + [sw_r] * 3)]
+    jxw = [(d0 * sw_x, d1 * sw_x) for (d0, d1) in jx]
+
+    def dot2(a, b):
+        return a[0] * b[0] + a[1] * b[1]
+
+    # --- point-side: 16 columns in _assemble_reduced's exact order
+    # [JxJx (3x3 row-major), bpk (3), fxk (3), wk_live (1)]; the symmetric
+    # JxJx entries reuse one plane per unordered pair. The pt_order
+    # permutation applies to the STACKED (K, 16) table as ONE row gather —
+    # a per-plane (K,) gather costs ~7 ms EACH on TPU (scalar-granularity
+    # random access; measured round 5), a 16-column row gather ~2 ms total.
+    jxjx = {}
+    for i in range(3):
+        for j in range(i, 3):
+            jxjx[(i, j)] = dot2(jxw[i], jxw[j])
+    ew = (e0w, e1w)
+    fw = (f0, f1)
+    pt_planes = [jxjx[(min(i, j), max(i, j))]
+                 for i in range(3) for j in range(3)]
+    pt_planes += [dot2(jxw[i], ew) for i in range(3)]
+    pt_planes += [dot2(fw, jxw[j]) for j in range(3)]
+    pt_planes.append((p.obs_w > 0).astype(dtype))
+    pt_tab = jnp.stack(pt_planes, axis=-1)[p.pt_order]    # (K, 16) rows
+    seg_p = _sorted_segment_sum(pt_tab, p.pt_ptr)         # (P, 16)
+    Hpp = seg_p[:, :9].reshape(Pn, 3, 3)
+    b_p = seg_p[:, 9:12]
+    tF_sum = seg_p[:, 12:15]
+
+    Hpp_d = Hpp + jnp.eye(3, dtype=dtype) * (
+        lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-12)
+    )[..., None, :] * jnp.eye(3, dtype=dtype)
+    Hpp_inv = inv3x3(Hpp_d + 1e-18 * jnp.eye(3, dtype=dtype))
+    has_obs = seg_p[:, 15] > 0.5
+    Hpp_inv = jnp.where(has_obs[:, None, None], Hpp_inv, 0.0)
+
+    # --- camera-side: 96 columns in the exact order
+    # [Hk (6x6), bk (6), fk (6), Mk (6x6), gk (6), fck (6)].
+    # All point-table reads ride ONE (K, 15) row gather (Hpp_inv 9, b_p 3,
+    # FHpi 3) — see the scalar-gather note above.
+    U = [[dot2(jcw[i], jxw[l]) for l in range(3)] for i in range(6)]
+    FHpi = jnp.einsum("pi,pij->pj", tF_sum, Hpp_inv)      # (P, 3)
+    pt_src = jnp.concatenate(
+        [Hpp_inv.reshape(Pn, 9), b_p, FHpi], axis=-1)      # (P, 15)
+    pt_rows = pt_src[p.obs_pt]                             # (K, 15)
+    Hpi_g = [[pt_rows[:, 3 * i + j] for j in range(3)] for i in range(3)]
+    bp_g = [pt_rows[:, 9 + l] for l in range(3)]
+    FHpi_g = [pt_rows[:, 12 + x] for x in range(3)]
+    UHpi = [[sum(U[i][m] * Hpi_g[m][l] for m in range(3)) for l in range(3)]
+            for i in range(6)]
+    mk = {}
+    for i in range(6):
+        for j in range(i, 6):
+            mk[(i, j)] = sum(UHpi[i][l] * U[j][l] for l in range(3))
+    hk = {}
+    for i in range(6):
+        for j in range(i, 6):
+            hk[(i, j)] = dot2(jcw[i], jcw[j])
+    cam_planes = [hk[(min(i, j), max(i, j))]
+                  for i in range(6) for j in range(6)]
+    cam_planes += [dot2(jcw[i], ew) for i in range(6)]
+    cam_planes += [dot2(fw, jcw[j]) for j in range(6)]
+    cam_planes += [mk[(min(i, j), max(i, j))]
+                   for i in range(6) for j in range(6)]
+    cam_planes += [sum(UHpi[i][l] * bp_g[l] for l in range(3))
+                   for i in range(6)]
+    cam_planes += [sum(FHpi_g[x] * U[j][x] for x in range(3))
+                   for j in range(6)]
+    seg = _sorted_segment_sum_T(jnp.stack(cam_planes), p.cam_ptr)  # (C, 96)
+
+    free_c = jnp.concatenate(
+        [
+            jnp.repeat((~p.trans_fixed).astype(dtype)[:, None], 3, -1),
+            jnp.repeat((~p.rot_fixed).astype(dtype)[:, None], 3, -1),
+        ],
+        axis=-1,
+    )  # (C, 6)
+    pair_c = free_c[:, :, None] * free_c[:, None, :]
+    Hcc = seg[:, :36].reshape(C, 6, 6) * pair_c
+    b_c = seg[:, 36:42] * free_c
+    Hfc = seg[:, 42:48] * free_c
+    Mcc = seg[:, 48:84].reshape(C, 6, 6) * pair_c
+    rc_red = seg[:, 84:90] * free_c
+    Sfc_red = seg[:, 90:96] * free_c
+    Hff = jnp.sum(f0 * f0 + f1 * f1)
+    b_f = jnp.sum(f0 * e0w + f1 * e1w)
+
+    diagC = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-12)
+    Hcc_d = Hcc + jnp.eye(6, dtype=dtype) * (lam * diagC)[..., None, :] * (
+        jnp.eye(6, dtype=dtype)
+    )
+    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, b_p)
+    S_ff = (
+        Hff * (1.0 + lam) + 1e-12 - jnp.sum(FHpi * tF_sum)
+    ).astype(solve_dtype)
+    r_c = ((b_c - rc_red) * free_c).astype(solve_dtype)
+    r_f = (b_f - jnp.sum(tF_sum * y0)).astype(solve_dtype)
+
+    # stacked forms for matvec / back-substitution (contiguous per-plane
+    # writes; the downstream per-LM-iteration einsums run once, not per
+    # CG iteration)
+    U_st = jnp.stack(
+        [jnp.stack([U[i][l] for l in range(3)], axis=-1) for i in range(6)],
+        axis=-2,
+    )  # (K, 6, 3)
+    e_w = jnp.stack([e0w, e1w], axis=-1)
+    Jf_w = jnp.stack([f0, f1], axis=-1)[..., None]
+    Jc_w = jnp.stack(
+        [jnp.stack([d0, d1], axis=-1) for (d0, d1) in jcw], axis=-1
+    )
+    Jx_w = jnp.stack(
+        [jnp.stack([d0, d1], axis=-1) for (d0, d1) in jxw], axis=-1
+    )
+
+    return _ReducedSystem(
+        e_w=e_w, Jf_w=Jf_w, Jc_w=Jc_w, Jx_w=Jx_w, U=U_st, Hpp=Hpp,
+        Hpp_inv=Hpp_inv, b_p=b_p, tF_sum=tF_sum, FHpi=FHpi, free_c=free_c,
+        Hcc_d=Hcc_d, Mcc=Mcc, Hfc=Hfc, Sfc_red=Sfc_red, b_c=b_c,
+        rc_red=rc_red, Hff=Hff, b_f=b_f, diagC=diagC, S_ff=S_ff,
+        r_c=r_c, r_f=r_f,
+    )
+
+
 def _backsub_and_md(rs: _ReducedSystem, p: BAProblem, d_cam, d_f):
     """Point back-substitution (O(K) point-major) + exact model decrease
     −gᵀd − ½‖Jd‖² (Ceres model_cost_change, trust_region_minimizer.cc) —
@@ -964,9 +1184,23 @@ def _schur_solve_dense_pairs(
     (scripts/bench_ba_forcing.py). Same role as Ceres DENSE_SCHUR
     (sfm.cpp:200-212).
     """
-    C = p.cam_t.shape[0]
-    dtype = e.dtype
     rs = _assemble_reduced(e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype)
+    return _dense_pairs_from_rs(rs, p, lam, solve_dtype)
+
+
+def _schur_solve_dense_pairs_planes(
+    focal, cam_t, cam_r, points, p: BAProblem, lam, loss_scale, solve_dtype
+):
+    """dense_pairs step with plane-major Jacobians + assembly (see
+    _assemble_reduced_planes)."""
+    rs = _assemble_reduced_planes(focal, cam_t, cam_r, points, p, lam,
+                                  loss_scale, solve_dtype)
+    return _dense_pairs_from_rs(rs, p, lam, solve_dtype)
+
+
+def _dense_pairs_from_rs(rs: _ReducedSystem, p: BAProblem, lam, solve_dtype):
+    C = p.cam_t.shape[0]
+    dtype = rs.b_p.dtype
 
     # --- off-diagonal fill from observation pairs ---
     # Chunked over pairs, with the contraction written as fusable
@@ -1067,9 +1301,28 @@ def _schur_solve_pcg(
     preconditioner, with track length capped (truncation only weakens the
     preconditioner — the subtracted Galerkin term shrinks, so it stays SPD).
     """
-    C = p.cam_t.shape[0]
-    dtype = e.dtype
     rs = _assemble_reduced(e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype)
+    return _pcg_from_rs(rs, p, lam, solve_dtype, pcg_iters, pcg_rtol,
+                        coarse_group, x0_c, x0_f)
+
+
+def _schur_solve_pcg_planes(
+    focal, cam_t, cam_r, points, p: BAProblem, lam, loss_scale, solve_dtype,
+    pcg_iters, pcg_rtol, coarse_group=16, x0_c=None, x0_f=None,
+):
+    """PCG Schur step with plane-major Jacobians + assembly (the fast path;
+    see _assemble_reduced_planes). Same result as `_schur_solve_pcg` on
+    `_per_obs_jacobians_soa` output, to roundoff."""
+    rs = _assemble_reduced_planes(focal, cam_t, cam_r, points, p, lam,
+                                  loss_scale, solve_dtype)
+    return _pcg_from_rs(rs, p, lam, solve_dtype, pcg_iters, pcg_rtol,
+                        coarse_group, x0_c, x0_f)
+
+
+def _pcg_from_rs(rs: _ReducedSystem, p: BAProblem, lam, solve_dtype,
+                 pcg_iters, pcg_rtol, coarse_group=16, x0_c=None, x0_f=None):
+    C = p.cam_t.shape[0]
+    dtype = rs.b_p.dtype
     U, Hpp_inv, tF_sum, FHpi = rs.U, rs.Hpp_inv, rs.tF_sum, rs.FHpi
     b_p, free_c = rs.b_p, rs.free_c
     Hcc_d, Mcc, Hfc = rs.Hcc_d, rs.Mcc, rs.Hfc
@@ -1651,16 +1904,14 @@ def _ba_lm_loop(
     def body(carry):
         f, ct, cr, pts, lam, dec, cost, it, done, dc_prev, df_prev = carry
         if camera_solver == "pcg":
-            e, Jf, Jc, Jx = _per_obs_jacobians_soa(f, ct, cr, pts, p)
-            d_f, d_cam, d_pts, md = _schur_solve_pcg(
-                e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype,
+            d_f, d_cam, d_pts, md = _schur_solve_pcg_planes(
+                f, ct, cr, pts, p, lam, loss_scale, solve_dtype,
                 pcg_iters, pcg_rtol, pcg_coarse,
                 x0_c=dc_prev, x0_f=df_prev,
             )
         elif camera_solver == "dense_pairs":
-            e, Jf, Jc, Jx = _per_obs_jacobians_soa(f, ct, cr, pts, p)
-            d_f, d_cam, d_pts, md = _schur_solve_dense_pairs(
-                e, Jf, Jc, Jx, p, lam, loss_scale, solve_dtype
+            d_f, d_cam, d_pts, md = _schur_solve_dense_pairs_planes(
+                f, ct, cr, pts, p, lam, loss_scale, solve_dtype
             )
         else:
             d_f, d_cam, d_pts, md = _schur_solve_slots(

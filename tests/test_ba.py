@@ -482,3 +482,63 @@ def test_obs_major_soa_jacobians_match_autodiff():
         c_soa = float(ba_mod._ba_cost_obs_soa(
             p.focal, p.cam_t, p.cam_r, p.points, p))
         assert abs(c_soa - c_ref) <= 1e-9 * max(1.0, c_ref)
+
+
+def test_plane_assembly_matches_row_major():
+    """`_assemble_reduced_planes` / the plane PCG+dense_pairs steps (r5
+    plane-major rewrite) must reproduce `_assemble_reduced` on the SoA
+    stacked Jacobians field-for-field, and the solver outputs to roundoff."""
+    from sphericalsfm_tpu.optim import ba as ba_mod
+
+    scene = make_scene(seed=17, C=20, P=120, noise=0.4)
+    for spherical, focal_fixed in ((True, True), (False, False)):
+        p = build_problem(*scene, spherical=spherical,
+                          focal_fixed=focal_fixed)
+        p = ba_mod.sort_obs_by_camera(p)
+        p = ba_mod.build_cc_pairs(p)
+        lam = jnp.asarray(3e-4, p.points.dtype)
+        e, Jf, Jc, Jx = ba_mod._per_obs_jacobians_soa(
+            p.focal, p.cam_t, p.cam_r, p.points, p)
+        rs_ref = ba_mod._assemble_reduced(e, Jf, Jc, Jx, p, lam, 1.0,
+                                          jnp.float64)
+        rs_new = ba_mod._assemble_reduced_planes(
+            p.focal, p.cam_t, p.cam_r, p.points, p, lam, 1.0, jnp.float64)
+        for name in rs_ref._fields:
+            a = np.asarray(getattr(rs_ref, name))
+            b = np.asarray(getattr(rs_new, name))
+            scale = max(1.0, np.abs(a).max()) if a.size else 1.0
+            np.testing.assert_allclose(
+                b, a, rtol=1e-9, atol=1e-9 * scale,
+                err_msg=f"{name} (spherical={spherical})")
+        ref = ba_mod._schur_solve_pcg(e, Jf, Jc, Jx, p, lam, 1.0,
+                                      jnp.float64, 200, 1e-10, 0)
+        new = ba_mod._schur_solve_pcg_planes(
+            p.focal, p.cam_t, p.cam_r, p.points, p, lam, 1.0,
+            jnp.float64, 200, 1e-10, 0)
+        for a, b, name in zip(ref, new, ["d_f", "d_cam", "d_pts", "md"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-9,
+                err_msg=f"pcg {name}")
+        ref = ba_mod._schur_solve_dense_pairs(e, Jf, Jc, Jx, p, lam, 1.0,
+                                              jnp.float64)
+        new = ba_mod._schur_solve_dense_pairs_planes(
+            p.focal, p.cam_t, p.cam_r, p.points, p, lam, 1.0, jnp.float64)
+        for a, b, name in zip(ref, new, ["d_f", "d_cam", "d_pts", "md"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-7, atol=1e-10,
+                err_msg=f"dense_pairs {name}")
+
+
+def test_sorted_segment_sum_T_matches_row_major():
+    from sphericalsfm_tpu.optim import ba as ba_mod
+
+    rng = np.random.default_rng(3)
+    K, d = 5000, 7
+    ptr = np.sort(rng.choice(K + 1, size=40, replace=True))
+    ptr = np.concatenate([[0], ptr, [K]]).astype(np.int32)
+    x = rng.normal(size=(K, d)) * 10.0 + 5.0
+    a = np.asarray(ba_mod._sorted_segment_sum(jnp.asarray(x),
+                                              jnp.asarray(ptr)))
+    b = np.asarray(ba_mod._sorted_segment_sum_T(jnp.asarray(x.T.copy()),
+                                                jnp.asarray(ptr)))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-9)

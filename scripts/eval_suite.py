@@ -166,6 +166,41 @@ def run_sequence(spec, out_root):
     return rep
 
 
+# Root-cause notes for sequences that have scored under AUC 95 (VERDICT r4
+# item 1). Kept here (not in EVAL_SUITE.md, which this script overwrites)
+# so regeneration never loses them.
+ROOT_CAUSE_NOTES = """
+## Root causes (sequences under AUC 95)
+
+* **wide_f280_100** (fixed in round 5, AUC 8.4 → 99.99): the focal
+  search aliased when rotation init defaulted to the sequential
+  adjacent-pair chain — pairwise rotations estimated at the 2×-wrong focal
+  GUESS come out ~2×, so a 100-frame chain totals two full turns and still
+  closes every loop, creating a spurious loop-consistency minimum at the
+  guess. The reference driver's default is sequential=false
+  (run_spherical_sfm_uncalib.cpp:27); with the heaviest-spanning-tree
+  init the closure edges enter the initialization and break the alias
+  (config.py GraphConfig.sequential).
+* **lowtex_f800_100**: at the telephoto zoom over low-frequency texture the
+  scene contains ~70 DoG blobs per frame TOTAL — measured at contrast
+  thresholds down to 1e-4 and pyramids up to 6 octaves (70→74 kp). OpenCV's
+  SIFT — the reference's detector (spherical_sfm_tools.cpp:176-207) — finds
+  56-63 keypoints on the same frame at contrastThreshold 0.04→0.004, i.e.
+  FEWER than this detector. ~9 ratio-test survivors per pair cannot clear
+  any min-inlier gate, the view graph fragments into ~10-frame islands, and
+  no reconstruction exists to score. This sequence sits at the blob-detection
+  information floor; the reference pipeline fragments identically.
+* **lowtex_f560_120** (AUC ~84-92): reconstruction succeeds but the focal
+  estimate carries a ~2-4% bias: the only detectable features are smooth
+  wave extrema whose localization error is correlated across the image
+  (shading gradients), which BA absorbs into the focal. Racc@5 is 100 and
+  Tacc@15 ≈ 96 — the residual error is concentrated in the 5-15° translation
+  band exactly as a small focal bias predicts. Round-5's contrast-adaptive
+  detection gate (ops/features.py) roughly doubles the usable keypoints;
+  the remaining bias is scene-information-limited, not a solver defect.
+"""
+
+
 def _markdown_table(reports, agg):
     cols = ["sequence", "frames", "outlier_frac", "inward", "focal_true",
             "focal_est", "focal_rel_err_pct", "Racc@5", "Tacc@5", "AUC@30",
@@ -193,6 +228,9 @@ def main():
         i = args.index("--only")
         only = set(args[i + 1:])
         args = args[:i]
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
     out_root = args[0] if args else "/tmp/sfm_eval_suite"
     import numpy as np
 
@@ -201,7 +239,32 @@ def main():
         seqs = [s for s in seqs if s["name"] in only]
     reports = []
     for spec in seqs:
-        rep = run_sequence(spec, out_root)
+        # Incremental per-sequence reports: a crash or timeout mid-suite
+        # keeps every finished sequence, and --resume skips them on re-run.
+        rep_path = os.path.join(out_root, spec["name"], "report.json")
+        if resume and os.path.exists(rep_path):
+            with open(rep_path) as f:
+                rep = json.load(f)
+            print(json.dumps(rep), flush=True)
+            reports.append(rep)
+            continue
+        try:
+            rep = run_sequence(spec, out_root)
+        except Exception as e:  # keep the suite alive; score the failure
+            print(f"SEQUENCE FAILED {spec['name']}: {e!r}", flush=True)
+            rep = {k: 0.0 for k in (
+                "Racc@5", "Racc@15", "Racc@30", "Tacc@5", "Tacc@15",
+                "Tacc@30", "AUC@30")}
+            rep.update(sequence=spec["name"], frames=spec["frames"],
+                       outlier_frac=spec.get("outliers", 0.0),
+                       inward=spec.get("inward", False),
+                       focal_true=spec["focal"], focal_est=0.0,
+                       # worst-case penalty scores keep the aggregate finite
+                       focal_rel_err_pct=100.0, ate=1.0,
+                       wall_s=0.0, error=repr(e))
+        os.makedirs(os.path.dirname(rep_path), exist_ok=True)
+        with open(rep_path, "w") as f:
+            json.dump(rep, f, indent=2)
         print(json.dumps(rep), flush=True)
         reports.append(rep)
 
@@ -223,6 +286,7 @@ def main():
             f.write("# Hard evaluation suite (PhoneSweep stand-in)\n\n")
             f.write(__doc__.split("Usage:")[0] + "\n")
             f.write(_markdown_table(reports, agg) + "\n")
+            f.write(ROOT_CAUSE_NOTES)
 
 
 if __name__ == "__main__":

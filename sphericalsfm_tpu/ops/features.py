@@ -307,7 +307,25 @@ def detect_and_describe(
         gstack = jnp.stack(gauss)  # (S+3, h, w)
         octave_images.append(gstack)
         dogs = gstack[1:] - gstack[:-1]  # (S+2, h, w)
-        resp = _dog_extrema(dogs, _CONTRAST_THRESH)  # (S, h, w)
+        if o == 0:
+            # Contrast-adaptive gate: a fixed 0.015 starves low-contrast
+            # scenes (53 kp/frame on the lowtex eval sequences → the view
+            # graph fragments into 10-frame islands). Scale the gate to the
+            # image's own peak DoG response — textured images (max|DoG| ≥
+            # 0.3) keep the classic 0.015 cut, smooth scenes degrade
+            # gracefully instead of returning nothing. The 2.5e-4 floor
+            # keeps quantization-noise extrema out on genuinely flat
+            # captures (DoG of a blurred uint8 image sits well below 1e-4).
+            # Traced scalar: no recompile across images. The max is taken on
+            # an interior crop: the blur's zero-padding makes spurious
+            # border DoG responses far above any interior content.
+            hh, ww = dogs.shape[1], dogs.shape[2]
+            m = max(4, min(16, hh // 8, ww // 8))
+            thresh = jnp.clip(
+                0.05 * jnp.max(jnp.abs(dogs[:, m:hh - m, m:ww - m])),
+                2.5e-4, _CONTRAST_THRESH,
+            )
+        resp = _dog_extrema(dogs, thresh)  # (S, h, w)
 
         s_ = resp.shape[0]
         scale_of_layer = jnp.asarray(

@@ -126,3 +126,25 @@ def test_descriptor_matching_under_shift():
             good += 1
     assert total > 20, total
     assert good / total > 0.8, (good, total)
+
+
+def test_low_contrast_adaptive_gate():
+    """The DoG contrast gate scales with image contrast: a 5%-contrast copy
+    of a textured image must keep (most of) its keypoints instead of being
+    starved by the fixed 0.015 cut (round-5 lowtex eval root cause: the
+    view graph fragmented into 10-frame islands at 53 kp/frame)."""
+    img = _textured_image(seed=3)
+    lo = 0.5 + 0.05 * (img - 0.5)  # same structure, 1/20 the contrast
+    f_hi = detect_and_describe(jnp.asarray(img), max_keypoints=256)
+    f_lo = detect_and_describe(jnp.asarray(lo.astype(np.float32)),
+                               max_keypoints=256)
+    n_hi = int(jnp.sum(f_hi.valid))
+    n_lo = int(jnp.sum(f_lo.valid))
+    assert n_hi > 50, n_hi
+    assert n_lo > 0.6 * n_hi, (n_lo, n_hi)
+    # and the keypoints land in the same places (structure, not noise)
+    xy_hi = np.asarray(f_hi.xy)[np.asarray(f_hi.valid)]
+    xy_lo = np.asarray(f_lo.xy)[np.asarray(f_lo.valid)]
+    d = np.linalg.norm(xy_lo[:, None, :] - xy_hi[None, :, :], axis=-1)
+    frac_near = float(np.mean(d.min(axis=1) < 3.0))
+    assert frac_near > 0.8, frac_near

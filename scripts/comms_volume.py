@@ -27,6 +27,11 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
+# sitecustomize imports JAX and registers the axon TPU backend before this
+# script runs, so the env vars above are too late on their own (CLAUDE.md):
+# the post-import config update is also required to actually land on CPU.
+jax.config.update("jax_platforms", "cpu")
+
 DTYPE_BYTES = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1, "bf16": 2,
                "s8": 1, "u8": 1, "f16": 2, "s64": 8, "u64": 8}
 

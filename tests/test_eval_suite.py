@@ -84,3 +84,37 @@ def test_eval_suite_quick_sequence_end_to_end(tmp_path):
     # the pipeline must absorb 20% injected outliers on this easy geometry
     assert rep["AUC@30"] > 80.0
     assert rep["focal_rel_err_pct"] < 5.0
+
+
+@pytest.mark.slow
+def test_lowtex_information_floor_vs_opencv():
+    """Pins the lowtex_f800 root cause (EVAL_SUITE.md): the sequence fails
+    because the scene contains ~70 detectable blobs per frame TOTAL, not
+    because this detector underperforms the reference's. OpenCV SIFT —
+    the reference's detector (spherical_sfm_tools.cpp:176-207) — must not
+    find materially more keypoints than ours on the same frame."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+
+    from sphericalsfm_tpu.eval.render import render_capture
+    from sphericalsfm_tpu.ops.features import detect_and_describe
+
+    _, _, gray, _ = render_capture(
+        num_frames=1, arc=1.0, focal=800.0, width=640, height=480,
+        seed=53, n_waves=120, wave_freq=12.0,
+    )
+    img = gray[0]
+    f = detect_and_describe(jnp.asarray(img), max_keypoints=1024)
+    n_ours = int(np.asarray(f.valid).sum())
+
+    img8 = img if img.dtype == np.uint8 else (img * 255).astype(np.uint8)
+    n_cv = max(
+        len(cv2.SIFT_create(nfeatures=1024, contrastThreshold=th).detect(
+            img8, None))
+        for th in (0.04, 0.004)
+    )
+    # both detectors sit at the same information floor (measured r5:
+    # ours 70-74, OpenCV 56-63); fail if ours ever drops well below cv2
+    assert n_ours >= 0.8 * n_cv, (n_ours, n_cv)
+    # and the floor itself: nowhere near the 1024 budget
+    assert n_ours < 300, n_ours

@@ -374,10 +374,40 @@ def bench_matcher(device):
             best = min(best, time.perf_counter() - t0)
         return best, (np.asarray(m1), np.asarray(m2), np.asarray(idx))
 
-    t4, _ = timed(4)
-    t16, out_bf16 = timed(16)
-    ms_per_pair = max(t16 - t4, 1e-9) / 12 * 1e3
+    # Kernel time via the fori-marginal methodology (k repeats inside ONE
+    # jit, scalar-checksum fetch) — the earlier cross-dispatch marginal
+    # (batch 16 minus batch 4, separate dispatches) read ~4 ms/pair on the
+    # tunneled chip: per-dispatch overhead, not kernel. Within-jit matches
+    # the production pipeline (whole match stage jitted per chunk) and the
+    # roofline number (~0.22 ms/pair).
+    B = 8
+    a0 = jax.device_put(d0[:B], device)
+    a1 = jax.device_put(d1[:B], device)
+    v = jax.device_put(val[:B], device)
 
+    def _make_loop(k):
+        def run():
+            def body(i, acc):
+                m1, _, idx = two_nearest_neighbors_batched(
+                    a0 + jnp.float32(1e-6) * i, a1, v, v,
+                    compute_dtype="bfloat16")
+                return acc + m1.sum() + idx.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return run
+
+    def _timed_loop(k):
+        fn = jax.jit(_make_loop(k), device=device)
+        float(fn())  # compile + warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ms_per_pair = max(_timed_loop(8) - _timed_loop(2), 1e-9) / (6 * B) * 1e3
+
+    _, out_bf16 = timed(16)
     _, out_f32 = timed(16, compute_dtype="float32")
 
     def ratio_matches(m1, m2, idx):
@@ -503,8 +533,9 @@ def main():
         ),
         "matcher_workload": (
             "K=4096 x 128-d SIFT-grid descriptors, bf16-input/f32-acc "
-            "kernel; marginal over batch 4 vs 16 pairs with forced fetch; "
-            "agreement = ratio-test match identity vs exact-f32 kernel"
+            "kernel; fori-marginal (8 vs 2 repeats of an 8-pair batch "
+            "inside one jit, checksum fetch) — kernel time, not tunnel "
+            "dispatch; agreement = ratio-test match identity vs exact-f32"
         ),
     }))
 
